@@ -1,0 +1,82 @@
+"""Test configuration: run everything on a virtual 8-device CPU backend.
+
+This is the standard JAX fake-backend trick for exercising DP/TP sharding
+without TPU hardware (SURVEY.md §4d). Must run before the first jax import.
+"""
+
+import os
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
+
+import sys
+
+REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+if REPO_ROOT not in sys.path:
+    sys.path.insert(0, REPO_ROOT)
+
+import numpy as np
+import pandas as pd
+import pytest
+
+
+@pytest.fixture(scope="session")
+def meld_like_root(tmp_path_factory):
+    """A tiny synthetic MELD.Raw directory with the reference CSV schema,
+    including the corrupted rows that get_text must drop and cp1252 bytes
+    that it must fix."""
+    root = tmp_path_factory.mktemp("data")
+    raw = root / "MELD.Raw"
+    raw.mkdir()
+
+    rng = np.random.default_rng(0)
+    emotions = ["neutral", "joy", "sadness", "anger", "surprise", "fear", "disgust"]
+
+    def make_split(n_dialogues, corrupted, fname):
+        rows = []
+        for dia in range(n_dialogues):
+            n_utt = int(rng.integers(1, 6))
+            for utt in range(n_utt):
+                rows.append(
+                    {
+                        "Sr No.": len(rows) + 1,
+                        "Utterance": f"utt \x92{dia}\x92 number {utt}",
+                        "Speaker": "A",
+                        "Emotion": emotions[int(rng.integers(0, 7))],
+                        "Sentiment": "neutral",
+                        "Dialogue_ID": dia,
+                        "Utterance_ID": utt,
+                        "Season": 1,
+                        "Episode": 1,
+                        "StartTime": "0",
+                        "EndTime": "1",
+                    }
+                )
+        # ensure the corrupted rows exist so the filter has something to drop
+        for dia, utt in corrupted:
+            rows.append(
+                {
+                    "Sr No.": len(rows) + 1,
+                    "Utterance": "corrupted",
+                    "Speaker": "A",
+                    "Emotion": "neutral",
+                    "Sentiment": "neutral",
+                    "Dialogue_ID": dia,
+                    "Utterance_ID": utt,
+                    "Season": 1,
+                    "Episode": 1,
+                    "StartTime": "0",
+                    "EndTime": "1",
+                }
+            )
+        pd.DataFrame(rows).to_csv(raw / fname, index=False)
+        return len(rows) - len(corrupted)
+
+    sizes = {
+        "train": make_split(12, [(125, 3)], "train_sent_emo.csv"),
+        "val": make_split(6, [(110, 7)], "dev_sent_emo.csv"),
+        "test": make_split(8, [(38, 4), (220, 0)], "test_sent_emo.csv"),
+    }
+    return str(root), sizes
