@@ -6,7 +6,9 @@ without TPU hardware (SURVEY.md §4d). Must run before the first jax import.
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# Force-override: the machine environment pre-sets JAX_PLATFORMS to the TPU
+# plugin; tests must run on the virtual CPU mesh regardless.
+os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
@@ -16,6 +18,11 @@ import sys
 REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 if REPO_ROOT not in sys.path:
     sys.path.insert(0, REPO_ROOT)
+
+import jax
+
+# The axon TPU plugin ignores the env var in some paths; force via config too.
+jax.config.update("jax_platforms", "cpu")
 
 import numpy as np
 import pandas as pd
