@@ -1,0 +1,172 @@
+"""Stage-2 fusion data pipeline: dialogue-level batching of embeddings.
+
+Reference behavior (src/dataset.py):
+- load pickled text+audio embedding tables at init (:14-17)
+- one item = one dialogue: utterances grouped by Dialogue_ID, sorted by
+  Utterance_ID (:26,:35), stacked [U, D] text and audio + per-utterance labels
+- collate pads dialogues to the batch max length with 0.0 features and
+  **-1 labels** (:71-83) and builds a boolean padding_mask True=pad (:86-87)
+
+TPU-native redesign:
+- the per-item O(N) pandas scans are replaced by a one-shot dialogue index
+- batches are padded to **length buckets** (a handful of static shapes) so
+  every batch shape hits a cached XLA executable instead of recompiling; the
+  batch dimension is likewise fixed, with trailing all-padding dialogues in
+  the final partial batch (they carry -1 labels everywhere, so loss and
+  metrics are unaffected)
+- everything is numpy on the host; device placement happens in the
+  prefetcher (mer_tpu.data.prefetch)
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from mer_tpu.core import dialogue_index, embeddings_path, get_text, load_embeddings, map_emotions
+
+DEFAULT_LENGTH_BUCKETS = (8, 16, 24, 33)  # MELD dialogues are <= 33 utterances
+
+
+class FusionDataset:
+    """Dialogue-level dataset over exported embedding artifacts."""
+
+    def __init__(self, mode: str, config, data_root: str | None = None):
+        self.mode = mode
+        self.config = config
+
+        text_dir = config.embeddings.text
+        audio_dir = config.embeddings.audio
+        self.text_embeddings = load_embeddings(embeddings_path(text_dir, mode))
+        self.audio_embeddings = load_embeddings(embeddings_path(audio_dir, mode))
+
+        df = map_emotions(get_text(mode, data_root=data_root))
+        if len(df) != len(self.text_embeddings) or len(df) != len(self.audio_embeddings):
+            raise ValueError(
+                f"Embedding row count mismatch for {mode}: table={len(df)}, "
+                f"text={len(self.text_embeddings)}, audio={len(self.audio_embeddings)}"
+            )
+
+        self._dialogues: list[dict] = []
+        for dia, rows in dialogue_index(df).items():
+            rows = np.asarray(rows, dtype=np.int64)
+            self._dialogues.append(
+                {
+                    "dialogue_id": dia,
+                    "text": self.text_embeddings[rows],
+                    "audio": self.audio_embeddings[rows],
+                    "emotion": df.loc[rows, "Emotion"].to_numpy(dtype=np.int64),
+                }
+            )
+        self.labels = df["Emotion"].to_numpy(dtype=np.int64)
+
+    def __len__(self) -> int:
+        return len(self._dialogues)
+
+    def __getitem__(self, idx: int) -> dict:
+        return self._dialogues[idx]
+
+    def get_labels(self) -> np.ndarray:
+        """Training labels for balanced class weights (reference src/dataset.py:67-68)."""
+        return self.labels
+
+
+def pick_bucket(length: int, buckets: tuple[int, ...]) -> int:
+    for b in buckets:
+        if length <= b:
+            return b
+    return length  # beyond the largest bucket: pad exactly (rare escape hatch)
+
+
+def collate_dialogues(
+    dialogues: list[dict],
+    batch_size: int,
+    buckets: tuple[int, ...] = DEFAULT_LENGTH_BUCKETS,
+    pad_batch: bool = True,
+) -> dict:
+    """Pad a list of dialogues into one fixed-shape batch.
+
+    Semantics match the reference collate (src/dataset.py:71-89): features
+    padded with 0.0, labels with -1, padding_mask True where padded.
+    """
+    assert dialogues, "empty batch"
+    d_text = dialogues[0]["text"].shape[-1]
+    d_audio = dialogues[0]["audio"].shape[-1]
+    max_len = max(d["emotion"].shape[0] for d in dialogues)
+    u = pick_bucket(max_len, buckets)
+    b = batch_size if pad_batch else len(dialogues)
+
+    text = np.zeros((b, u, d_text), dtype=np.float32)
+    audio = np.zeros((b, u, d_audio), dtype=np.float32)
+    emotion = np.full((b, u), -1, dtype=np.int32)
+
+    for i, d in enumerate(dialogues):
+        n = d["emotion"].shape[0]
+        text[i, :n] = d["text"]
+        audio[i, :n] = d["audio"]
+        emotion[i, :n] = d["emotion"]
+
+    padding_mask = emotion == -1
+    # fully-padded rows must keep >=1 attendable key so softmax stays finite;
+    # the loss/metrics still ignore them via emotion == -1.
+    empty_rows = padding_mask.all(axis=1)
+    padding_mask[empty_rows, 0] = False
+
+    return {"text": text, "audio": audio, "emotion": emotion, "padding_mask": padding_mask}
+
+
+class FusionBatcher:
+    """Iterate fixed-shape batches over a FusionDataset (or dialogue list).
+
+    Length-sorted bucketing: within each epoch, dialogues are grouped into
+    batches after an optional shuffle.  ``sort_by_length=True`` additionally
+    sorts dialogues by length before batching (fewer padded positions, fewer
+    distinct shapes) while shuffling the *batch order* to keep training
+    stochastic — the TPU-friendly analog of the reference's random batches.
+    """
+
+    def __init__(
+        self,
+        dataset,
+        batch_size: int,
+        shuffle: bool = False,
+        seed: int = 0,
+        buckets: tuple[int, ...] = DEFAULT_LENGTH_BUCKETS,
+        sort_by_length: bool = True,
+        drop_last: bool = False,
+    ):
+        self.dataset = dataset
+        self.batch_size = batch_size
+        self.shuffle = shuffle
+        self.buckets = tuple(buckets)
+        self.sort_by_length = sort_by_length
+        self.drop_last = drop_last
+        self._rng = np.random.default_rng(seed)
+        self._epoch = 0
+
+    def __len__(self) -> int:
+        n = len(self.dataset)
+        if self.drop_last:
+            return n // self.batch_size
+        return (n + self.batch_size - 1) // self.batch_size
+
+    def __iter__(self):
+        n = len(self.dataset)
+        order = np.arange(n)
+        if self.shuffle:
+            self._rng.shuffle(order)
+        if self.sort_by_length:
+            lengths = np.asarray([self.dataset[i]["emotion"].shape[0] for i in order])
+            # stable sort keeps the shuffled order within equal lengths
+            order = order[np.argsort(lengths, kind="stable")]
+
+        batches = [order[i : i + self.batch_size] for i in range(0, n, self.batch_size)]
+        if self.drop_last and batches and len(batches[-1]) < self.batch_size:
+            batches = batches[:-1]
+        if self.shuffle:
+            self._rng.shuffle(batches)
+        self._epoch += 1
+
+        for idxs in batches:
+            yield collate_dialogues(
+                [self.dataset[int(i)] for i in idxs], self.batch_size, self.buckets
+            )

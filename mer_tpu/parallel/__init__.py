@@ -1,0 +1,23 @@
+from mer_tpu.parallel.mesh import (
+    batch_sharding,
+    initialize_distributed,
+    m2fnet_param_specs,
+    make_mesh,
+    mesh_from_config,
+    pad_batch_to_dp,
+    partition_spec_for,
+    replicated,
+    shard_params,
+)
+
+__all__ = [
+    "make_mesh",
+    "mesh_from_config",
+    "batch_sharding",
+    "replicated",
+    "m2fnet_param_specs",
+    "partition_spec_for",
+    "shard_params",
+    "pad_batch_to_dp",
+    "initialize_distributed",
+]

@@ -1,0 +1,154 @@
+"""Device meshes and sharding rules.
+
+The reference is strictly single-device (SURVEY.md §2.2: no
+torch.distributed anywhere).  Here parallelism is first-class and
+TPU-native: a ``jax.sharding.Mesh`` with named axes
+
+    dp — data parallel (batch dimension, rides ICI all-reduce for grads)
+    tp — tensor parallel (attention heads / FFN columns of the encoders)
+
+All collective insertion is left to XLA GSPMD: we annotate parameter and
+batch shardings with NamedSharding/PartitionSpec and jit the train step over
+the mesh (the scaling-book recipe: pick a mesh, annotate, let XLA insert
+collectives).
+
+Multi-host: ``initialize_distributed`` wraps jax.distributed.initialize for
+multi-process TPU pods; on a single host it is a no-op.
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Any
+
+import jax
+import numpy as np
+from jax.experimental import mesh_utils
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def initialize_distributed(coordinator_address: str | None = None, num_processes: int | None = None, process_id: int | None = None) -> None:
+    """Multi-host init (no-op for single-process)."""
+    if num_processes is None or num_processes <= 1:
+        return
+    jax.distributed.initialize(
+        coordinator_address=coordinator_address,
+        num_processes=num_processes,
+        process_id=process_id,
+    )
+
+
+def make_mesh(dp: int = -1, tp: int = 1, devices=None) -> Mesh:
+    """Build a (dp, tp) mesh. dp=-1 means all remaining devices."""
+    if devices is None:
+        devices = jax.devices()
+    n = len(devices)
+    if tp <= 0:
+        tp = 1
+    if dp == -1:
+        dp = n // tp
+    if dp * tp > n:
+        raise ValueError(f"mesh {dp}x{tp} needs {dp * tp} devices, have {n}")
+    if dp * tp < n:
+        devices = devices[: dp * tp]
+    arr = mesh_utils.create_device_mesh((dp, tp), devices=devices)
+    return Mesh(arr, ("dp", "tp"))
+
+
+def mesh_from_config(config, devices=None) -> Mesh:
+    """Build from the `tpu.mesh` config block (src/config.yaml tpu:)."""
+    mesh_cfg = config.get_path("tpu.mesh", {}) or {}
+    return make_mesh(dp=int(mesh_cfg.get("dp", -1)), tp=int(mesh_cfg.get("tp", 1)), devices=devices)
+
+
+def batch_sharding(mesh: Mesh) -> NamedSharding:
+    """Shard the leading (batch) dimension over dp; replicate over tp."""
+    return NamedSharding(mesh, P("dp"))
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+# ---------------------------------------------------------------------------
+# Tensor-parallel partition rules for the fusion model's parameter tree.
+#
+# Megatron-style column/row split per transformer block:
+#   q/k/v projections  : kernel [E, E]    -> split output (head) dim
+#   attention out_proj : kernel [E, E]    -> split input dim (row parallel)
+#   FFN linear1        : kernel [E, FF]   -> split output dim
+#   FFN linear2        : kernel [FF, E]   -> split input dim
+# Everything else (LayerNorms, modality projections, FAM linear, classifier)
+# is replicated — they are tiny at d=768.
+# ---------------------------------------------------------------------------
+
+_TP_RULES: list[tuple[str, P]] = [
+    (r".*(q_proj|k_proj|v_proj)/kernel$", P(None, "tp")),
+    (r".*(q_proj|k_proj|v_proj)/bias$", P("tp")),
+    (r".*out_proj/kernel$", P("tp", None)),
+    (r".*linear1/kernel$", P(None, "tp")),
+    (r".*linear1/bias$", P("tp")),
+    (r".*linear2/kernel$", P("tp", None)),
+]
+
+
+def _path_str(path) -> str:
+    parts = []
+    for p in path:
+        if hasattr(p, "key"):
+            parts.append(str(p.key))
+        elif hasattr(p, "idx"):
+            parts.append(str(p.idx))
+        else:
+            parts.append(str(p))
+    return "/".join(parts)
+
+
+def partition_spec_for(path_string: str) -> P:
+    for pattern, spec in _TP_RULES:
+        if re.match(pattern, path_string):
+            return spec
+    return P()
+
+
+def m2fnet_param_specs(params: Any) -> Any:
+    """PartitionSpec pytree matching a M2FNet (or any encoder-stack) param tree."""
+    return jax.tree_util.tree_map_with_path(
+        lambda path, leaf: partition_spec_for(_path_str(path)), params
+    )
+
+
+def shard_params(params: Any, mesh: Mesh) -> Any:
+    """Place a param tree on the mesh per the TP rules (replicated over dp)."""
+    specs = m2fnet_param_specs(params)
+    return jax.tree.map(
+        lambda leaf, spec: jax.device_put(leaf, NamedSharding(mesh, spec)), params, specs
+    )
+
+
+def shard_like_params(tree: Any, params_shardings: Any) -> Any:
+    """Shard an optimizer-state pytree by matching leaves to param shapes."""
+    return tree  # optimizer states follow params automatically under jit
+
+
+def pad_batch_to_dp(batch: dict, dp: int) -> dict:
+    """Pad the leading dim of every array so it divides the dp axis size."""
+
+    def _pad(x: np.ndarray) -> np.ndarray:
+        b = x.shape[0]
+        rem = (-b) % dp
+        if rem == 0:
+            return x
+        pad_block = np.zeros((rem,) + x.shape[1:], dtype=x.dtype)
+        if x.dtype.kind in "iu":  # labels: pad with -1 (ignored)
+            pad_block[...] = -1
+        return np.concatenate([x, pad_block], axis=0)
+
+    out = {k: _pad(v) for k, v in batch.items()}
+    if "padding_mask" in out:
+        # keep one attendable key in all-pad rows
+        pm = out["padding_mask"]
+        empty = pm.all(axis=-1)
+        pm[empty, 0] = False
+        out["padding_mask"] = pm
+    return out

@@ -1,0 +1,23 @@
+from mer_tpu.train.checkpoint import load_checkpoint, restore_into, save_checkpoint
+from mer_tpu.train.solver import (
+    Solver,
+    TrainState,
+    constant_with_warmup,
+    exponential_lr,
+    optimizer_from_config,
+    torch_adam,
+    torch_adamw,
+)
+
+__all__ = [
+    "Solver",
+    "TrainState",
+    "torch_adam",
+    "torch_adamw",
+    "exponential_lr",
+    "constant_with_warmup",
+    "optimizer_from_config",
+    "save_checkpoint",
+    "load_checkpoint",
+    "restore_into",
+]

@@ -1,0 +1,323 @@
+"""The shared solver engine.
+
+The reference copy-pastes its epoch loop four times (fusion src/train.py,
+text/train.py, audio_wav2vec2/train.py, audio_mel/train.py — SURVEY.md §1).
+Here it is one engine:
+
+- one jitted ``train_step`` / ``eval_step`` per model (single XLA program:
+  forward + backward + optimizer update, donated state)
+- torch-semantics optimizers built from the same YAML solver blocks:
+  Adam with L2 weight decay (torch.optim.Adam) and AdamW, per-epoch
+  ExponentialLR, constant-with-warmup
+- per-epoch validation with the reference's batch-averaged accuracy /
+  weighted-F1 (src/train.py:245-272)
+- checkpoint save per epoch incl. optimizer state + resume
+  (src/train.py:86-93, 163-168)
+- early stopping with best-weights shadow copy and restore-and-promote
+  (src/train.py:186-210), early-stop state resumable (audio_mel/train.py:143-154)
+- DP/TP sharding over a jax mesh when one is supplied; batches land
+  pre-sharded via the DevicePrefetcher
+"""
+
+from __future__ import annotations
+
+import os
+import time
+from functools import partial
+from typing import Any, Callable
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+from flax import struct
+
+from mer_tpu.data.prefetch import prefetch
+from mer_tpu.objectives.classification import cross_entropy
+from mer_tpu.objectives.metrics import BatchAveragedMetrics
+from mer_tpu.parallel.mesh import batch_sharding, m2fnet_param_specs, replicated, shard_params
+from mer_tpu.train.checkpoint import load_checkpoint, restore_into, save_checkpoint
+from mer_tpu.utils.logging import RunLogger
+
+
+class TrainState(struct.PyTreeNode):
+    params: Any
+    opt_state: Any
+    step: jnp.ndarray
+
+
+# ---------------------------------------------------------------------------
+# Optimizers (torch semantics)
+# ---------------------------------------------------------------------------
+
+def torch_adam(learning_rate, weight_decay: float = 0.0, b1: float = 0.9, b2: float = 0.999, eps: float = 1e-8) -> optax.GradientTransformation:
+    """torch.optim.Adam parity: L2 decay added to the gradient *before* the
+    moment updates (unlike AdamW's decoupled decay)."""
+    parts = []
+    if weight_decay:
+        parts.append(optax.add_decayed_weights(weight_decay))
+    parts.append(optax.scale_by_adam(b1=b1, b2=b2, eps=eps))
+    parts.append(optax.scale_by_learning_rate(learning_rate))
+    return optax.chain(*parts)
+
+
+def torch_adamw(learning_rate, weight_decay: float = 0.0, b1: float = 0.9, b2: float = 0.999, eps: float = 1e-8) -> optax.GradientTransformation:
+    return optax.adamw(learning_rate, b1=b1, b2=b2, eps=eps, weight_decay=weight_decay)
+
+
+def exponential_lr(base_lr: float, gamma: float, steps_per_epoch: int) -> Callable[[jnp.ndarray], jnp.ndarray]:
+    """torch ExponentialLR stepped once per epoch (src/train.py:171-172)."""
+
+    def schedule(step):
+        epoch = step // max(steps_per_epoch, 1)
+        return base_lr * (gamma ** epoch)
+
+    return schedule
+
+
+def constant_with_warmup(base_lr: float, warmup_steps: int) -> Callable[[jnp.ndarray], jnp.ndarray]:
+    """HF get_constant_schedule_with_warmup parity (text/train.py:84)."""
+
+    def schedule(step):
+        frac = jnp.minimum((step + 1) / jnp.maximum(warmup_steps, 1), 1.0)
+        return base_lr * frac
+
+    return schedule
+
+
+def optimizer_from_config(solver_cfg, steps_per_epoch: int) -> tuple[optax.GradientTransformation, Callable]:
+    """Build the fusion-style optimizer from a reference solver YAML block."""
+    base_lr = float(solver_cfg.lr)
+    wd = float(solver_cfg.get("weight_decay", 0.0))
+    sched_cfg = solver_cfg.get("scheduler", None)
+    if sched_cfg and sched_cfg.get("enabled", False):
+        if sched_cfg.get("scheduler_fn") != "ExponentialLR":
+            raise ValueError("Scheduler not supported")
+        schedule = exponential_lr(base_lr, float(sched_cfg.gamma), steps_per_epoch)
+    else:
+        schedule = lambda step: jnp.asarray(base_lr)
+    return torch_adam(schedule, weight_decay=wd), schedule
+
+
+# ---------------------------------------------------------------------------
+# Solver
+# ---------------------------------------------------------------------------
+
+class Solver:
+    """Shared classification solver (fusion pipeline; FE pipelines build on it).
+
+    Args:
+        model: a Flax module whose __call__ returns logits.
+        config: full pipeline config (reference YAML schema).
+        loss_fn: (logits, labels) -> scalar; defaults to the reference CE
+            (ignore_index=-1, label_smoothing=0.1, optional class weights).
+        batch_to_inputs: batch dict -> model args tuple.
+        mesh: optional jax Mesh for DP/TP sharding.
+    """
+
+    def __init__(
+        self,
+        model,
+        config,
+        *,
+        class_weights: np.ndarray | None = None,
+        loss_fn: Callable | None = None,
+        batch_to_inputs: Callable[[dict], tuple] | None = None,
+        mesh=None,
+        seed: int | None = None,
+    ):
+        self.model = model
+        self.config = config
+        self.mesh = mesh
+        self.logger = RunLogger(config)
+        self.seed = int(config.get_path("tpu.seed", 0) if seed is None else seed)
+
+        if loss_fn is None:
+            cw = None if class_weights is None else jnp.asarray(class_weights)
+            loss_fn = partial(cross_entropy, label_smoothing=0.1, class_weights=cw, ignore_index=-1)
+        self.loss_fn = loss_fn
+
+        if batch_to_inputs is None:
+            batch_to_inputs = lambda b: (b["text"], b["audio"], b["padding_mask"])
+        self.batch_to_inputs = batch_to_inputs
+
+        self._train_step = None
+        self._eval_step = None
+        self._optimizer = None
+        self._schedule = None
+
+    # -- setup ---------------------------------------------------------------
+
+    def init_state(self, example_batch: dict, steps_per_epoch: int) -> TrainState:
+        rng = jax.random.PRNGKey(self.seed)
+        inputs = self.batch_to_inputs(jax.tree.map(jnp.asarray, example_batch))
+        params = self.model.init({"params": rng}, *inputs)["params"]
+        self._optimizer, self._schedule = optimizer_from_config(self.config.solver, steps_per_epoch)
+        opt_state = self._optimizer.init(params)
+        state = TrainState(params=params, opt_state=opt_state, step=jnp.zeros((), jnp.int32))
+        if self.mesh is not None:
+            state = state.replace(params=shard_params(state.params, self.mesh))
+        return state
+
+    def _build_steps(self) -> None:
+        model, loss_fn, optimizer = self.model, self.loss_fn, self._optimizer
+        batch_to_inputs = self.batch_to_inputs
+
+        def train_step(state: TrainState, batch: dict, rng) -> tuple[TrainState, jnp.ndarray]:
+            step_rng = jax.random.fold_in(rng, state.step)
+
+            def compute_loss(params):
+                logits = model.apply(
+                    {"params": params}, *batch_to_inputs(batch),
+                    deterministic=False, rngs={"dropout": step_rng},
+                )
+                return loss_fn(logits, batch["emotion"])
+
+            loss, grads = jax.value_and_grad(compute_loss)(state.params)
+            updates, new_opt_state = optimizer.update(grads, state.opt_state, state.params)
+            new_params = optax.apply_updates(state.params, updates)
+            return state.replace(params=new_params, opt_state=new_opt_state, step=state.step + 1), loss
+
+        def eval_step(params, batch: dict) -> tuple[jnp.ndarray, jnp.ndarray]:
+            logits = model.apply({"params": params}, *batch_to_inputs(batch), deterministic=True)
+            loss = loss_fn(logits, batch["emotion"])
+            preds = jnp.argmax(logits, axis=-1)
+            return loss, preds
+
+        donate = bool(self.config.get_path("tpu.donate_state", True))
+        self._train_step = jax.jit(train_step, donate_argnums=(0,) if donate else ())
+        self._eval_step = jax.jit(eval_step)
+
+    @property
+    def data_sharding(self):
+        return batch_sharding(self.mesh) if self.mesh is not None else None
+
+    # -- epochs ---------------------------------------------------------------
+
+    def train_epoch(self, state: TrainState, batcher, rng) -> tuple[TrainState, float]:
+        if self._train_step is None:
+            self._build_steps()
+        total, batches = 0.0, 0
+        for batch in prefetch(batcher, sharding=self.data_sharding):
+            state, loss = self._train_step(state, batch, rng)
+            total += float(loss)
+            batches += 1
+            self.logger.log_step(total / batches)
+        return state, total / max(batches, 1)
+
+    def evaluate(self, params, batcher) -> tuple[float, BatchAveragedMetrics]:
+        if self._eval_step is None:
+            self._build_steps()
+        metrics = BatchAveragedMetrics()
+        total, batches = 0.0, 0
+        for batch in prefetch(batcher, sharding=self.data_sharding):
+            loss, preds = self._eval_step(params, batch)
+            emotion = np.asarray(batch["emotion"])
+            metrics.update(emotion, np.asarray(preds), mask=emotion != -1)
+            total += float(loss)
+            batches += 1
+        return total / max(batches, 1), metrics
+
+    # -- full training loop ----------------------------------------------------
+
+    def fit(self, train_batcher, val_batcher, state: TrainState | None = None) -> tuple[TrainState, dict]:
+        cfg = self.config
+        solver_cfg = cfg.solver
+        epochs = int(solver_cfg.epochs)
+        early_stopping = bool(solver_cfg.get_path("early_stopping.enabled", False))
+        patience = int(solver_cfg.get_path("early_stopping.patience", 0) or 0)
+        restore_best = bool(solver_cfg.get_path("early_stopping.restore_best_weights", False))
+
+        ckpt_cfg = cfg.checkpoint
+        save_ckpt = bool(ckpt_cfg.get("save_checkpoint", False))
+        save_path = os.path.abspath(str(ckpt_cfg.get("save_path", "checkpoints/model.ckpt")))
+        best_path = os.path.join(os.path.dirname(save_path), "best_weights.ckpt")
+
+        example = next(iter(train_batcher))
+        if state is None:
+            state = self.init_state(example, steps_per_epoch=len(train_batcher))
+        elif self._optimizer is None:
+            self._optimizer, self._schedule = optimizer_from_config(solver_cfg, len(train_batcher))
+
+        start_epoch = 0
+        min_loss_val = float("inf")
+        patience_counter = 0
+
+        # resume (reference src/train.py:86-93)
+        load_path = os.path.abspath(str(ckpt_cfg.get("load_path", save_path)))
+        if bool(ckpt_cfg.get("load_checkpoint", False)) and os.path.exists(load_path):
+            restored = load_checkpoint(load_path)
+            state = state.replace(
+                params=restore_into(state.params, restored["params"]),
+                opt_state=restore_into(state.opt_state, restored["opt_state"]),
+                step=jnp.asarray(restored["extra"].get("step", 0), jnp.int32),
+            )
+            start_epoch = restored["epoch"] + 1
+            min_loss_val = float(restored["extra"].get("min_loss_val", float("inf")))
+            patience_counter = int(restored["extra"].get("patience_counter", 0))
+            self.logger.print(f"Resumed from {load_path} at epoch {start_epoch}")
+
+        rng = jax.random.PRNGKey(self.seed + 1)
+        history: dict[str, list] = {"loss_values": [], "val_loss_values": []}
+
+        for epoch in range(start_epoch, epochs):
+            t0 = time.perf_counter()
+            state, loss_train = self.train_epoch(state, train_batcher, rng)
+            loss_val, metrics = self.evaluate(state.params, val_batcher)
+            dt = time.perf_counter() - t0
+            history["loss_values"].append(loss_train)
+            history["val_loss_values"].append(loss_val)
+
+            def _extra():
+                return {
+                    "step": int(state.step),
+                    "min_loss_val": min_loss_val,
+                    "patience_counter": patience_counter,
+                }
+
+            if save_ckpt:
+                save_checkpoint(save_path, epoch=epoch, params=state.params, opt_state=state.opt_state, extra=_extra())
+
+            lr = float(self._schedule(state.step - 1)) if self._schedule else float(solver_cfg.lr)
+            self.logger.log_epoch(
+                epoch, lr=lr, loss_train=loss_train, loss_val=loss_val,
+                accuracy=metrics.batch_averaged_accuracy,
+                weighted_f1=metrics.batch_averaged_weighted_f1,
+                epoch_seconds=dt,
+            )
+
+            if early_stopping:
+                if loss_val < min_loss_val:
+                    min_loss_val = loss_val
+                    patience_counter = 0
+                    if restore_best:
+                        save_checkpoint(best_path, epoch=epoch, params=state.params, opt_state=state.opt_state, extra=_extra())
+                else:
+                    patience_counter += 1
+                    if patience_counter >= patience:
+                        self.logger.print(f"Early stopping: patience {patience} reached")
+                        if restore_best and os.path.exists(best_path):
+                            best = load_checkpoint(best_path)
+                            state = state.replace(params=restore_into(state.params, best["params"]))
+                            if save_ckpt:
+                                save_checkpoint(
+                                    save_path, epoch=best["epoch"], params=state.params,
+                                    opt_state=state.opt_state, extra=_extra(),
+                                )
+                            os.remove(best_path)
+                            self.logger.print(f"Best model at epoch {best['epoch']} restored")
+                        break
+
+        self.logger.finish()
+        return state, history
+
+    # -- evaluation entry (reference src/test.py) ------------------------------
+
+    def test(self, test_batcher, params) -> dict:
+        loss, metrics = self.evaluate(params, test_batcher)
+        result = {"loss": loss, **metrics.summary()}
+        self.logger.print(
+            f"Accuracy=[{metrics.batch_averaged_accuracy * 100:.3f}%] "
+            f"Weighted_F1=[{metrics.batch_averaged_weighted_f1 * 100:.3f}%]"
+        )
+        return result

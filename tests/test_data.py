@@ -1,0 +1,123 @@
+"""Tests for the fusion data pipeline: collate semantics, bucketing, prefetch."""
+
+import numpy as np
+
+import jax
+
+from mer_tpu.data import (
+    DEFAULT_LENGTH_BUCKETS,
+    FusionBatcher,
+    SyntheticFusionDataset,
+    collate_dialogues,
+    pick_bucket,
+    prefetch,
+)
+
+
+def _dialogue(u, d=8, seed=0, base=0.0):
+    rng = np.random.default_rng(seed)
+    return {
+        "dialogue_id": seed,
+        "text": rng.normal(size=(u, d)).astype(np.float32) + base,
+        "audio": rng.normal(size=(u, d)).astype(np.float32) + base,
+        "emotion": rng.integers(0, 7, size=u).astype(np.int64),
+    }
+
+
+class TestCollate:
+    def test_padding_semantics(self):
+        """Features pad with 0, labels with -1, mask True=pad
+        (reference src/dataset.py:71-89)."""
+        ds = [_dialogue(3, seed=1), _dialogue(5, seed=2)]
+        batch = collate_dialogues(ds, batch_size=2, buckets=(8,))
+        assert batch["text"].shape == (2, 8, 8)
+        assert batch["emotion"].shape == (2, 8)
+        np.testing.assert_array_equal(batch["emotion"][0, 3:], -1)
+        np.testing.assert_array_equal(batch["text"][0, 3:], 0.0)
+        assert batch["padding_mask"][0, 3:].all()
+        assert not batch["padding_mask"][0, :3].any()
+        np.testing.assert_array_equal(batch["emotion"][0, :3], ds[0]["emotion"])
+
+    def test_batch_padding_keeps_one_valid_key(self):
+        ds = [_dialogue(3, seed=1)]
+        batch = collate_dialogues(ds, batch_size=4, buckets=(8,))
+        assert batch["text"].shape[0] == 4
+        # all-padding rows get one attendable key but keep label -1
+        assert (batch["emotion"][1:] == -1).all()
+        assert not batch["padding_mask"][1:, 0].any()
+
+    def test_bucket_selection(self):
+        assert pick_bucket(3, DEFAULT_LENGTH_BUCKETS) == 8
+        assert pick_bucket(9, DEFAULT_LENGTH_BUCKETS) == 16
+        assert pick_bucket(33, DEFAULT_LENGTH_BUCKETS) == 33
+        assert pick_bucket(40, DEFAULT_LENGTH_BUCKETS) == 40  # escape hatch
+
+
+class TestBatcher:
+    def test_covers_all_dialogues_with_static_shapes(self):
+        ds = SyntheticFusionDataset(n_dialogues=37, d_text=8, d_audio=8, seed=0)
+        batcher = FusionBatcher(ds, batch_size=8, shuffle=True, seed=1)
+        seen = 0
+        shapes = set()
+        for batch in batcher:
+            assert batch["text"].shape[0] == 8
+            shapes.add(batch["text"].shape)
+            seen += int((batch["emotion"] != -1).any(axis=1).sum())
+        assert seen == 37
+        assert len(batcher) == 5
+        # bucketing keeps the number of distinct shapes small
+        assert len(shapes) <= len(DEFAULT_LENGTH_BUCKETS)
+
+    def test_label_multiset_preserved(self):
+        ds = SyntheticFusionDataset(n_dialogues=20, d_text=4, d_audio=4, seed=3)
+        batcher = FusionBatcher(ds, batch_size=4, shuffle=True, seed=2)
+        labels = np.concatenate([b["emotion"][b["emotion"] != -1] for b in batcher])
+        np.testing.assert_array_equal(np.sort(labels), np.sort(ds.get_labels()))
+
+    def test_shuffle_changes_order_between_epochs(self):
+        ds = SyntheticFusionDataset(n_dialogues=32, d_text=4, d_audio=4, seed=4)
+        batcher = FusionBatcher(ds, batch_size=4, shuffle=True, seed=3, sort_by_length=False)
+        e1 = [b["emotion"].tobytes() for b in batcher]
+        e2 = [b["emotion"].tobytes() for b in batcher]
+        assert e1 != e2
+
+    def test_no_shuffle_deterministic(self):
+        ds = SyntheticFusionDataset(n_dialogues=16, d_text=4, d_audio=4, seed=5)
+        batcher = FusionBatcher(ds, batch_size=4, shuffle=False)
+        e1 = [b["emotion"].tobytes() for b in batcher]
+        e2 = [b["emotion"].tobytes() for b in batcher]
+        assert e1 == e2
+
+
+class TestPrefetch:
+    def test_yields_device_arrays_in_order(self):
+        ds = SyntheticFusionDataset(n_dialogues=10, d_text=4, d_audio=4, seed=6)
+        batcher = FusionBatcher(ds, batch_size=4, shuffle=False)
+        host = list(batcher)
+        dev = list(prefetch(batcher, buffer_size=2))
+        assert len(host) == len(dev)
+        for h, d in zip(host, dev):
+            assert isinstance(d["text"], jax.Array)
+            np.testing.assert_array_equal(h["emotion"], np.asarray(d["emotion"]))
+
+    def test_propagates_errors(self):
+        def bad():
+            yield {"x": np.zeros(2)}
+            raise RuntimeError("boom")
+
+        import pytest
+
+        with pytest.raises(RuntimeError, match="boom"):
+            list(prefetch(bad()))
+
+    def test_sharded_placement(self):
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        from mer_tpu.parallel import make_mesh
+
+        mesh = make_mesh(dp=8, tp=1)
+        sharding = NamedSharding(mesh, P("dp"))
+        ds = SyntheticFusionDataset(n_dialogues=16, d_text=4, d_audio=4, seed=7)
+        batcher = FusionBatcher(ds, batch_size=8, shuffle=False)
+        for batch in prefetch(batcher, sharding=sharding):
+            assert batch["text"].sharding.is_equivalent_to(sharding, batch["text"].ndim)
