@@ -1,0 +1,189 @@
+"""Benchmark: M2FNet fusion inference throughput (the reference's benchmark
+path, src/test.py) on a MELD-test-shaped workload.
+
+Workload (SURVEY.md §6): 280 dialogues / ~2608 utterances, batches of 32
+dialogues, d=768 embeddings, 6-layer modality encoders, 5 FAM layers.
+MELD itself cannot ship here, so dialogue structure is synthesized with the
+corpus statistics; throughput depends only on shapes.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": utterances/sec on TPU, "unit": ...,
+   "vs_baseline": speedup vs the torch-CPU reference implementation}
+
+The baseline is the same architecture built from torch built-ins
+(nn.TransformerEncoder / nn.MultiheadAttention) run on CPU — i.e. what the
+reference implementation does on this machine.  The torch number is cached
+in .bench_baseline.json (keyed by workload/version) because it is slow.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+REPO_ROOT = os.path.dirname(os.path.abspath(__file__))
+if REPO_ROOT not in sys.path:
+    sys.path.insert(0, REPO_ROOT)
+
+import numpy as np
+
+N_DIALOGUES = 280
+MEAN_LEN = 9.3
+MAX_LEN = 33
+BATCH = 32
+D = 768
+SEED = 1234
+BASELINE_CACHE = os.path.join(REPO_ROOT, ".bench_baseline.json")
+BASELINE_KEY = f"m2fnet-test-v1-{N_DIALOGUES}x{D}-b{BATCH}"
+
+
+def _workload():
+    from mer_tpu.data import FusionBatcher
+    from mer_tpu.data.synthetic import SyntheticFusionDataset
+
+    ds = SyntheticFusionDataset(
+        n_dialogues=N_DIALOGUES, d_text=D, d_audio=D, mean_len=MEAN_LEN,
+        max_len=MAX_LEN, seed=SEED, learnable=False,
+    )
+    batcher = FusionBatcher(ds, batch_size=BATCH, shuffle=False, sort_by_length=True)
+    n_utterances = int(sum(d["emotion"].shape[0] for d in ds._dialogues))
+    return batcher, n_utterances
+
+
+def bench_tpu(batcher, n_utterances: int, repeats: int = 5) -> float:
+    import jax
+    import jax.numpy as jnp
+
+    from mer_tpu.data import prefetch
+    from mer_tpu.models import M2FNet
+
+    model = M2FNet(dtype=jnp.bfloat16)
+    host_batches = list(batcher)
+    example = host_batches[0]
+    params = model.init(
+        jax.random.PRNGKey(0),
+        jnp.asarray(example["text"]), jnp.asarray(example["audio"]),
+        jnp.asarray(example["padding_mask"]),
+    )["params"]
+
+    @jax.jit
+    def predict(params, text, audio, mask):
+        logits = model.apply({"params": params}, text, audio, mask, deterministic=True)
+        return jnp.argmax(logits, axis=-1)
+
+    def run_epoch():
+        preds = []
+        for b in prefetch(host_batches, buffer_size=2):
+            preds.append(predict(params, b["text"], b["audio"], b["padding_mask"]))
+        jax.block_until_ready(preds)
+        return preds
+
+    run_epoch()  # compile all bucket shapes
+    times = []
+    for _ in range(repeats):
+        t0 = time.perf_counter()
+        run_epoch()
+        times.append(time.perf_counter() - t0)
+    return n_utterances / min(times)
+
+
+def _torch_m2fnet_baseline():
+    """The reference architecture from torch built-ins (CPU baseline)."""
+    import torch
+    import torch.nn as tnn
+
+    class TorchFAM(tnn.Module):
+        def __init__(self, d, h):
+            super().__init__()
+            self.mha = tnn.MultiheadAttention(d, h, batch_first=True, dropout=0.4)
+            self.lin = tnn.Linear(2 * d, d)
+
+        def forward(self, text, audio, mask):
+            x, _ = self.mha(text, audio, text, key_padding_mask=mask)
+            x = torch.relu(torch.cat([x, text], dim=2))
+            return torch.relu(self.lin(x))
+
+    class TorchM2FNet(tnn.Module):
+        def __init__(self, d=D, h=8, n_enc=6, n_fam=5, hidden=768, classes=7):
+            super().__init__()
+            mk_enc = lambda: tnn.TransformerEncoder(
+                tnn.TransformerEncoderLayer(d_model=d, nhead=h, dropout=0.4, batch_first=True),
+                num_layers=n_enc, norm=tnn.LayerNorm(d),
+            )
+            self.audio_enc, self.text_enc = mk_enc(), mk_enc()
+            self.audio_proj, self.text_proj = tnn.Linear(d, d), tnn.Linear(d, d)
+            self.fams = tnn.ModuleList(TorchFAM(d, h) for _ in range(n_fam))
+            self.head = tnn.Sequential(
+                tnn.Linear(2 * d, hidden), tnn.ReLU(), tnn.Dropout(0.4), tnn.Linear(hidden, classes)
+            )
+
+        def forward(self, text, audio, mask):
+            audio = audio + self.audio_enc(audio, src_key_padding_mask=mask)
+            audio = self.audio_proj(audio)
+            text = text + self.text_enc(text, src_key_padding_mask=mask)
+            text = self.text_proj(text)
+            for fam in self.fams:
+                text = fam(text, audio, mask)
+            return self.head(torch.cat([audio, text], dim=2))
+
+    return TorchM2FNet().eval()
+
+
+def bench_torch_cpu(batcher, n_utterances: int, max_batches: int = 3) -> float:
+    """Reference-equivalent CPU throughput, extrapolated from a few batches."""
+    import torch
+
+    model = _torch_m2fnet_baseline()
+    batches = list(batcher)[:max_batches]
+    utt = sum(int((b["emotion"] != -1).sum()) for b in batches)
+    with torch.inference_mode():
+        tb = [
+            (torch.tensor(b["text"]), torch.tensor(b["audio"]), torch.tensor(b["padding_mask"]))
+            for b in batches
+        ]
+        model(*tb[0])  # warmup
+        t0 = time.perf_counter()
+        for text, audio, mask in tb:
+            model(text, audio, mask).argmax(dim=2)
+        dt = time.perf_counter() - t0
+    return utt / dt
+
+
+def get_baseline(batcher, n_utterances: int) -> float:
+    if os.path.exists(BASELINE_CACHE):
+        try:
+            with open(BASELINE_CACHE) as f:
+                cache = json.load(f)
+            if BASELINE_KEY in cache:
+                return float(cache[BASELINE_KEY])
+        except (json.JSONDecodeError, OSError):
+            pass
+    value = bench_torch_cpu(batcher, n_utterances)
+    try:
+        with open(BASELINE_CACHE, "w") as f:
+            json.dump({BASELINE_KEY: value}, f)
+    except OSError:
+        pass
+    return value
+
+
+def main():
+    batcher, n_utterances = _workload()
+    baseline = get_baseline(batcher, n_utterances)
+    tpu = bench_tpu(batcher, n_utterances)
+    print(
+        json.dumps(
+            {
+                "metric": "MELD-test-shaped M2FNet fusion inference throughput (utterances/sec/chip)",
+                "value": round(tpu, 1),
+                "unit": "utterances/sec",
+                "vs_baseline": round(tpu / baseline, 2),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()
