@@ -1,0 +1,257 @@
+"""wav2vec 2.0 encoder + classifier (stage-1b audio feature extractor).
+
+The reference fine-tunes torchaudio's WAV2VEC2_BASE bundle
+(audio_wav2vec2/model.py:9) — architecturally identical to HF/fairseq
+wav2vec2-base — with masked mean pooling over valid frames (:27) and a
+Linear-Tanh-Linear head (:12-16).  Native Flax implementation, parity-tested
+against HF transformers torch.
+
+Architecture (base):
+- conv feature extractor: 7 temporal convs (512ch; k/s = 10/5, 3/2 x4, 2/2 x2),
+  GroupNorm(512, 512) after the first conv only, GELU, no bias
+- feature projection: LayerNorm -> Linear(512 -> 768) -> dropout
+- encoder: grouped convolutional positional embedding (k=128, groups=16,
+  weight-normed in torch — folded at conversion), additive, then 12 post-LN
+  transformer layers (GELU FFN 3072)
+- padded frames are zeroed before the positional conv and masked as
+  attention keys (HF semantics)
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+import jax.numpy as jnp
+import numpy as np
+from flax import linen as nn
+
+from mer_tpu.ops.attention import dot_product_attention
+
+
+@dataclass(frozen=True)
+class Wav2Vec2Config:
+    conv_dim: tuple[int, ...] = (512, 512, 512, 512, 512, 512, 512)
+    conv_kernel: tuple[int, ...] = (10, 3, 3, 3, 3, 2, 2)
+    conv_stride: tuple[int, ...] = (5, 2, 2, 2, 2, 2, 2)
+    hidden_size: int = 768
+    num_hidden_layers: int = 12
+    num_attention_heads: int = 12
+    intermediate_size: int = 3072
+    num_conv_pos_embeddings: int = 128
+    num_conv_pos_embedding_groups: int = 16
+    layer_norm_eps: float = 1e-5
+    hidden_dropout: float = 0.1
+    attention_dropout: float = 0.1
+    num_labels: int = 7
+
+    @classmethod
+    def base(cls) -> "Wav2Vec2Config":
+        return cls()
+
+    def feat_extract_output_lengths(self, input_lengths: jnp.ndarray) -> jnp.ndarray:
+        lengths = input_lengths
+        for k, s in zip(self.conv_kernel, self.conv_stride):
+            lengths = (lengths - k) // s + 1
+        return lengths
+
+
+class ConvFeatureExtractor(nn.Module):
+    """Temporal conv stack on raw waveforms [B, L] -> [B, T, C]."""
+
+    cfg: Wav2Vec2Config
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, waveforms: jnp.ndarray) -> jnp.ndarray:
+        x = waveforms[:, :, None]  # [B, L, 1]
+        for i, (dim, k, s) in enumerate(zip(self.cfg.conv_dim, self.cfg.conv_kernel, self.cfg.conv_stride)):
+            x = nn.Conv(dim, (k,), strides=(s,), padding="VALID", use_bias=False,
+                        dtype=self.dtype, name=f"conv_{i}")(x)
+            if i == 0:
+                # GroupNorm(num_groups=C, C) == per-channel norm over time
+                x = nn.GroupNorm(num_groups=self.cfg.conv_dim[0], epsilon=self.cfg.layer_norm_eps,
+                                 dtype=self.dtype, name="group_norm")(x)
+            x = nn.gelu(x, approximate=False)
+        return x
+
+
+class ConvPositionalEmbedding(nn.Module):
+    """Grouped conv positional embedding; torch weight-norm is folded into
+    the materialized kernel at conversion time."""
+
+    cfg: Wav2Vec2Config
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, hidden: jnp.ndarray) -> jnp.ndarray:
+        k = self.cfg.num_conv_pos_embeddings
+        pad = k // 2
+        x = nn.Conv(
+            self.cfg.hidden_size, (k,), padding=[(pad, pad)],
+            feature_group_count=self.cfg.num_conv_pos_embedding_groups,
+            dtype=self.dtype, name="conv",
+        )(hidden)
+        if k % 2 == 0:
+            x = x[:, :-1, :]
+        return nn.gelu(x, approximate=False)
+
+
+class Wav2Vec2EncoderLayer(nn.Module):
+    cfg: Wav2Vec2Config
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, hidden, key_padding_mask, deterministic=True):
+        c = self.cfg
+        head_dim = c.hidden_size // c.num_attention_heads
+        b, s, _ = hidden.shape
+        dense = lambda name: nn.Dense(c.hidden_size, dtype=self.dtype, name=name)
+        drop = lambda x: nn.Dropout(c.hidden_dropout, deterministic=deterministic)(x)
+
+        q = dense("q_proj")(hidden).reshape(b, s, c.num_attention_heads, head_dim).transpose(0, 2, 1, 3)
+        k = dense("k_proj")(hidden).reshape(b, s, c.num_attention_heads, head_dim).transpose(0, 2, 1, 3)
+        v = dense("v_proj")(hidden).reshape(b, s, c.num_attention_heads, head_dim).transpose(0, 2, 1, 3)
+        rng = self.make_rng("dropout") if (not deterministic and c.attention_dropout > 0) else None
+        attn = dot_product_attention(
+            q, k, v, key_padding_mask=key_padding_mask,
+            dropout_rate=c.attention_dropout, dropout_rng=rng, deterministic=deterministic,
+        ).transpose(0, 2, 1, 3).reshape(b, s, c.hidden_size)
+        attn = dense("out_proj")(attn)
+
+        hidden = nn.LayerNorm(epsilon=c.layer_norm_eps, dtype=self.dtype, name="layer_norm")(hidden + drop(attn))
+
+        ff = nn.Dense(c.intermediate_size, dtype=self.dtype, name="intermediate")(hidden)
+        ff = nn.gelu(ff, approximate=False)
+        ff = drop(ff)
+        ff = nn.Dense(c.hidden_size, dtype=self.dtype, name="output")(ff)
+        hidden = nn.LayerNorm(epsilon=c.layer_norm_eps, dtype=self.dtype, name="final_layer_norm")(hidden + drop(ff))
+        return hidden
+
+
+class Wav2Vec2Model(nn.Module):
+    """Waveforms + lengths -> frame features [B, T, H] and frame lengths."""
+
+    cfg: Wav2Vec2Config
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, waveforms: jnp.ndarray, lengths: jnp.ndarray, deterministic: bool = True):
+        c = self.cfg
+        feats = ConvFeatureExtractor(c, dtype=self.dtype, name="feature_extractor")(waveforms)
+
+        out_lengths = c.feat_extract_output_lengths(lengths.astype(jnp.int32))
+        t = feats.shape[1]
+        frame_valid = jnp.arange(t)[None, :] < out_lengths[:, None]  # [B, T]
+
+        x = nn.LayerNorm(epsilon=c.layer_norm_eps, dtype=self.dtype, name="feature_projection_norm")(feats)
+        x = nn.Dense(c.hidden_size, dtype=self.dtype, name="feature_projection")(x)
+        x = nn.Dropout(c.hidden_dropout, deterministic=deterministic)(x)
+
+        # zero padded frames before the positional conv (HF semantics)
+        x = jnp.where(frame_valid[..., None], x, 0.0)
+        x = x + ConvPositionalEmbedding(c, dtype=self.dtype, name="pos_conv_embed")(x)
+        x = nn.LayerNorm(epsilon=c.layer_norm_eps, dtype=self.dtype, name="encoder_layer_norm")(x)
+        x = nn.Dropout(c.hidden_dropout, deterministic=deterministic)(x)
+
+        key_padding_mask = ~frame_valid
+        for i in range(c.num_hidden_layers):
+            x = Wav2Vec2EncoderLayer(c, dtype=self.dtype, name=f"layer_{i}")(
+                x, key_padding_mask, deterministic
+            )
+        return x, out_lengths
+
+
+class AudioERC(nn.Module):
+    """wav2vec2 + masked mean pooling + Linear-Tanh-Linear head
+    (reference audio_wav2vec2/model.py:5-29)."""
+
+    cfg: Wav2Vec2Config
+    dtype: jnp.dtype = jnp.float32
+
+    def setup(self):
+        self.wav2vec2 = Wav2Vec2Model(self.cfg, dtype=self.dtype)
+        self.head_dense = nn.Dense(self.cfg.hidden_size, dtype=self.dtype)
+        self.head_out = nn.Dense(self.cfg.num_labels, dtype=self.dtype)
+
+    def pool(self, hidden, out_lengths):
+        t = hidden.shape[1]
+        valid = (jnp.arange(t)[None, :] < out_lengths[:, None])[..., None]
+        summed = jnp.sum(jnp.where(valid, hidden, 0.0), axis=1)
+        return summed / jnp.maximum(out_lengths[:, None], 1)
+
+    def __call__(self, waveforms, lengths, deterministic: bool = True):
+        hidden, out_lengths = self.wav2vec2(waveforms, lengths, deterministic)
+        pooled = self.pool(hidden, out_lengths)
+        x = jnp.tanh(self.head_dense(pooled))
+        return self.head_out(x)
+
+    def embed(self, waveforms, lengths, deterministic: bool = True):
+        """Masked mean-pooled embeddings for export
+        (reference audio_wav2vec2/embeddings.py:85)."""
+        hidden, out_lengths = self.wav2vec2(waveforms, lengths, deterministic)
+        return self.pool(hidden, out_lengths)
+
+
+# ---------------------------------------------------------------------------
+# HF torch -> flax conversion
+# ---------------------------------------------------------------------------
+
+def _np(t) -> np.ndarray:
+    return t.detach().cpu().numpy().astype(np.float32)
+
+
+def convert_hf_wav2vec2(sd: dict, cfg: Wav2Vec2Config, prefix: str = "") -> dict:
+    """Convert an HF torch Wav2Vec2Model state_dict to Wav2Vec2Model params.
+
+    torch Conv1d weight [out, in/groups, k] -> flax [k, in/groups, out];
+    the positional conv's weight-norm (weight_g/weight_v, or the
+    parametrizations.* layout in torch>=2.1) is folded into a plain kernel.
+    """
+    g = lambda k: _np(sd[prefix + k])
+    lin = lambda k: {"kernel": g(f"{k}.weight").T, "bias": g(f"{k}.bias")}
+    lnp = lambda k: {"scale": g(f"{k}.weight"), "bias": g(f"{k}.bias")}
+
+    params: dict = {"feature_extractor": {}}
+    for i in range(len(cfg.conv_dim)):
+        w = g(f"feature_extractor.conv_layers.{i}.conv.weight")  # [out, in, k]
+        params["feature_extractor"][f"conv_{i}"] = {"kernel": np.transpose(w, (2, 1, 0))}
+    params["feature_extractor"]["group_norm"] = {
+        "scale": g("feature_extractor.conv_layers.0.layer_norm.weight"),
+        "bias": g("feature_extractor.conv_layers.0.layer_norm.bias"),
+    }
+
+    params["feature_projection_norm"] = lnp("feature_projection.layer_norm")
+    params["feature_projection"] = lin("feature_projection.projection")
+
+    # positional conv: materialize weight-normed kernel
+    pc = prefix + "encoder.pos_conv_embed.conv."
+    if pc + "weight" in sd:
+        w = _np(sd[pc + "weight"])
+    else:
+        if pc + "parametrizations.weight.original0" in sd:
+            g_w = _np(sd[pc + "parametrizations.weight.original0"])
+            v_w = _np(sd[pc + "parametrizations.weight.original1"])
+        else:
+            g_w = _np(sd[pc + "weight_g"])
+            v_w = _np(sd[pc + "weight_v"])
+        # fairseq weight_norm(dim=2): per-kernel-position norm over (out, in)
+        norm = np.sqrt((v_w ** 2).sum(axis=(0, 1), keepdims=True))
+        w = g_w * v_w / np.maximum(norm, 1e-12)
+    params["pos_conv_embed"] = {
+        "conv": {"kernel": np.transpose(w, (2, 1, 0)), "bias": g("encoder.pos_conv_embed.conv.bias")}
+    }
+
+    params["encoder_layer_norm"] = lnp("encoder.layer_norm")
+    for i in range(cfg.num_hidden_layers):
+        p = f"encoder.layers.{i}."
+        params[f"layer_{i}"] = {
+            "q_proj": lin(p + "attention.q_proj"),
+            "k_proj": lin(p + "attention.k_proj"),
+            "v_proj": lin(p + "attention.v_proj"),
+            "out_proj": lin(p + "attention.out_proj"),
+            "layer_norm": lnp(p + "layer_norm"),
+            "intermediate": lin(p + "feed_forward.intermediate_dense"),
+            "output": lin(p + "feed_forward.output_dense"),
+            "final_layer_norm": lnp(p + "final_layer_norm"),
+        }
+    return params

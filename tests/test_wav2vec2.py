@@ -1,0 +1,107 @@
+"""wav2vec2 parity tests vs HF transformers torch (small random config)."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from mer_tpu.models.wav2vec2 import AudioERC, Wav2Vec2Config, Wav2Vec2Model, convert_hf_wav2vec2
+
+torch = pytest.importorskip("torch")
+transformers = pytest.importorskip("transformers")
+
+SMALL = Wav2Vec2Config(
+    conv_dim=(16, 16, 16), conv_kernel=(10, 3, 2), conv_stride=(5, 2, 2),
+    hidden_size=32, num_hidden_layers=2, num_attention_heads=4, intermediate_size=64,
+    num_conv_pos_embeddings=16, num_conv_pos_embedding_groups=4,
+)
+
+
+def _hf_model():
+    cfg = transformers.Wav2Vec2Config(
+        conv_dim=list(SMALL.conv_dim), conv_kernel=list(SMALL.conv_kernel),
+        conv_stride=list(SMALL.conv_stride), hidden_size=SMALL.hidden_size,
+        num_hidden_layers=SMALL.num_hidden_layers, num_attention_heads=SMALL.num_attention_heads,
+        intermediate_size=SMALL.intermediate_size,
+        num_conv_pos_embeddings=SMALL.num_conv_pos_embeddings,
+        num_conv_pos_embedding_groups=SMALL.num_conv_pos_embedding_groups,
+        do_stable_layer_norm=False, feat_extract_norm="group", conv_bias=False,
+        num_feat_extract_layers=len(SMALL.conv_dim),
+    )
+    return transformers.Wav2Vec2Model(cfg).eval()
+
+
+def _waves(b=2, l=800, seed=0):
+    rng = np.random.default_rng(seed)
+    waves = rng.normal(size=(b, l)).astype(np.float32) * 0.1
+    lengths = np.array([l, l - 250], dtype=np.int64)
+    waves[1, lengths[1]:] = 0.0
+    return waves, lengths
+
+
+class TestLengths:
+    def test_output_lengths_match_hf(self):
+        hf = _hf_model()
+        lens = np.array([800, 550, 123])
+        ref = hf._get_feat_extract_output_lengths(torch.tensor(lens)).numpy()
+        ours = np.asarray(SMALL.feat_extract_output_lengths(jnp.asarray(lens)))
+        np.testing.assert_array_equal(ours, ref)
+
+
+class TestWav2Vec2Parity:
+    def test_encoder_matches_hf_full_length(self):
+        hf = _hf_model()
+        waves, _ = _waves()
+        with torch.no_grad():
+            ref = hf(torch.tensor(waves)).last_hidden_state.numpy()
+
+        params = convert_hf_wav2vec2(hf.state_dict(), SMALL)
+        lengths = jnp.full((2,), waves.shape[1], jnp.int32)
+        ours, out_lens = Wav2Vec2Model(SMALL).apply(
+            {"params": params}, jnp.asarray(waves), lengths, deterministic=True
+        )
+        assert np.asarray(out_lens)[0] == ref.shape[1]
+        np.testing.assert_allclose(np.asarray(ours), ref, rtol=5e-4, atol=5e-4)
+
+    def test_encoder_matches_hf_with_padding(self):
+        hf = _hf_model()
+        waves, lengths = _waves(seed=1)
+        attn = np.zeros_like(waves, dtype=np.int64)
+        for i, l in enumerate(lengths):
+            attn[i, :l] = 1
+        with torch.no_grad():
+            ref = hf(torch.tensor(waves), attention_mask=torch.tensor(attn)).last_hidden_state.numpy()
+
+        params = convert_hf_wav2vec2(hf.state_dict(), SMALL)
+        ours, out_lens = Wav2Vec2Model(SMALL).apply(
+            {"params": params}, jnp.asarray(waves), jnp.asarray(lengths), deterministic=True
+        )
+        out_lens = np.asarray(out_lens)
+        got = np.asarray(ours)
+        # compare only valid frames (padded-frame outputs are never consumed)
+        for i in range(2):
+            np.testing.assert_allclose(got[i, : out_lens[i]], ref[i, : out_lens[i]], rtol=1e-3, atol=1e-3)
+
+    def test_audio_erc_shapes_and_pooling(self):
+        waves, lengths = _waves(seed=2)
+        model = AudioERC(SMALL)
+        variables = model.init(jax.random.PRNGKey(0), jnp.asarray(waves), jnp.asarray(lengths))
+        logits = model.apply(variables, jnp.asarray(waves), jnp.asarray(lengths))
+        assert logits.shape == (2, 7)
+        emb = model.apply(variables, jnp.asarray(waves), jnp.asarray(lengths), method=AudioERC.embed)
+        assert emb.shape == (2, SMALL.hidden_size)
+
+    def test_pooling_ignores_padding(self):
+        """Mean pooling over valid frames only (reference audio_wav2vec2/model.py:27)."""
+        waves, lengths = _waves(seed=3)
+        model = AudioERC(SMALL)
+        variables = model.init(jax.random.PRNGKey(0), jnp.asarray(waves), jnp.asarray(lengths))
+        emb1 = model.apply(variables, jnp.asarray(waves), jnp.asarray(lengths), method=AudioERC.embed)
+        waves2 = waves.copy()
+        waves2[1, lengths[1]:] = 5.0  # garbage in the padded sample region
+        emb2 = model.apply(variables, jnp.asarray(waves2), jnp.asarray(lengths), method=AudioERC.embed)
+        np.testing.assert_allclose(np.asarray(emb1[0]), np.asarray(emb2[0]), atol=1e-6)
+        # note: clip 1's *conv* receptive fields straddle the boundary, so
+        # only the fully-valid clip is bitwise stable — that is also true of
+        # the reference implementation.
