@@ -1,0 +1,118 @@
+"""Mel feature-extractor data pipeline (stage 1c).
+
+The reference featurizes on the host with librosa and a PNG uint8 cache
+(audio_mel/dataset.py:93-180).  Here the host only decodes wavs
+(data/audio_io.py); framing, DFT, mel projection, log, normalization and the
+cache-parity uint8 quantization all run on device (ops/logmel.py), so there
+is no spectrogram cache to manage — the frontend is orders of magnitude
+faster than disk.
+
+Augmentation (train only, when ``AUDIO.augmentation_factor > 1``) applies the
+reference's transform set on device (ops/augment.py:random_augment), with
+variant selection matching audio_mel/dataset.py:125-128 (variant 0 = clean).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from mer_tpu.core import get_text, map_emotions
+from mer_tpu.ops.logmel import MelConfig, log_mel_spectrogram
+
+_SPLIT_WAV_DIRS = {
+    "train": "MELD.Raw/train_splits/wav",
+    "val": "MELD.Raw/dev_splits_complete/wav",
+    "test": "MELD.Raw/output_repeated_splits_test/wav",
+}
+
+
+def wav_dir_for(mode: str, data_root: str = "data") -> str:
+    import os
+
+    return os.path.join(os.path.abspath(data_root), _SPLIT_WAV_DIRS[mode])
+
+
+class MelFeatureDataset:
+    """Utterance-level dataset: row index -> waveform -> on-device log-mel.
+
+    Exposes:
+      - ``labels`` for mining / class weights
+      - ``spectrogram_batch(indices, key=None)``: [n, F, M, 3] device array,
+        optionally augmented (train mode, augmentation_factor > 1)
+      - length/debug truncation parity (config DEBUG.enabled/num_samples,
+        audio_mel/dataset.py:54-56)
+    """
+
+    def __init__(self, mode: str, config, data_root: str | None = None, waveform_store=None):
+        from mer_tpu.data.audio_io import WaveformStore
+
+        self.mode = mode
+        self.config = config
+        self.mel_cfg = MelConfig(
+            sample_rate=int(config.AUDIO.ffmpeg_sr),
+            max_seconds=float(config.AUDIO.max_duration),
+        )
+
+        df = map_emotions(get_text(mode, data_root=data_root))
+        if bool(config.get_path("DEBUG.enabled", False)):
+            df = df.iloc[: int(config.DEBUG.num_samples)]
+        self.df = df
+        self.labels = df["Emotion"].to_numpy(dtype=np.int64)
+        self.dia_utt = df[["Dialogue_ID", "Utterance_ID"]].to_numpy(dtype=np.int64)
+
+        self.augmentation_factor = max(int(config.get_path("AUDIO.augmentation_factor", 1)), 1)
+        self.store = waveform_store or WaveformStore(
+            wav_dir_for(mode, data_root or "data"),
+            sample_rate=self.mel_cfg.sample_rate,
+            max_seconds=self.mel_cfg.max_seconds,
+        )
+
+    def __len__(self) -> int:
+        return len(self.df)
+
+    def get_labels(self) -> np.ndarray:
+        return self.labels
+
+    def waveform_batch(self, indices: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+        """Fixed-size [n, max_samples] buffer + true lengths."""
+        n = len(indices)
+        out = np.zeros((n, self.mel_cfg.max_samples), dtype=np.float32)
+        lengths = np.zeros((n,), dtype=np.int32)
+        for i, idx in enumerate(np.asarray(indices)):
+            dia, utt = self.dia_utt[int(idx)]
+            w = self.store.get(dia, utt)
+            out[i, : len(w)] = w
+            lengths[i] = len(w)
+        return out, lengths
+
+    def spectrogram_batch(self, indices: np.ndarray, key: jax.Array | None = None) -> jnp.ndarray:
+        """[n, max_frames, n_mels, 3] log-mel images (NHWC for the Flax
+        encoder). Augments with probability-per-transform semantics when a
+        PRNG key is given and this is the train split."""
+        waves, lengths = self.waveform_batch(indices)
+        waves_j, lengths_j = jnp.asarray(waves), jnp.asarray(lengths)
+
+        augment = (
+            key is not None
+            and self.mode == "train"
+            and self.augmentation_factor > 1
+        )
+        if augment:
+            from mer_tpu.ops.augment import random_augment
+
+            # variant 0 of augmentation_factor is the clean signal
+            # (audio_mel/dataset.py:125-128)
+            k_var, k_aug = jax.random.split(key)
+            variants = jax.random.randint(k_var, (len(indices),), 0, self.augmentation_factor)
+            keys = jax.random.split(k_aug, len(indices))
+            aug_w, aug_l = jax.vmap(random_augment)(keys, waves_j, lengths_j)
+            use = (variants > 0)[:, None]
+            waves_j = jnp.where(use, aug_w, waves_j)
+            lengths_j = jnp.where(use[:, 0], aug_l, lengths_j)
+
+        return log_mel_spectrogram(
+            waves_j, lengths_j, self.mel_cfg, quantize_png=True, channels_first=False
+        )

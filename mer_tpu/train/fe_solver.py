@@ -1,0 +1,255 @@
+"""Freeze/fine-tune solver for the text and wav2vec2 feature extractors.
+
+Reference scheme (text/train.py:55-63,84,137-144,211-227; wav2vec2 is the
+same skeleton with per-phase weight decay):
+
+- two AdamW optimizers created up front: head-only (frozen phase) and
+  all-params (fine-tune phase)
+- epochs < num_frozen_epochs: backbone frozen, head optimizer
+- afterwards: all-params optimizer with a constant-with-warmup schedule over
+  warmup_epochs * steps_per_epoch steps, stepped **per batch, only during
+  unfrozen epochs** (the reference quirk — the warmup clock starts at
+  unfreeze)
+- CE loss without label smoothing, optional balanced class weights
+- early stopping on val loss with best-weights restore; FE checkpoints store
+  model params only (text/train.py:165-169)
+
+JAX realization: the frozen phase is optax.multi_transform with
+``set_to_zero`` on the backbone subtree; both optimizer states exist from the
+start (their moments begin at zero exactly like torch's lazily-initialized
+state).  Each phase has its own jitted train step.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+from functools import partial
+from typing import Callable
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from mer_tpu.data.prefetch import prefetch
+from mer_tpu.objectives.classification import cross_entropy
+from mer_tpu.objectives.metrics import BatchAveragedMetrics
+from mer_tpu.train.checkpoint import load_checkpoint, restore_into, save_checkpoint
+from mer_tpu.train.solver import TrainState, constant_with_warmup, torch_adamw
+from mer_tpu.utils.logging import RunLogger
+
+
+class FESolver:
+    """Two-phase fine-tuning engine.
+
+    Args:
+        model: Flax module (TextERC / AudioERC).
+        config: pipeline config (reference YAML schema).
+        backbone_key: top-level param subtree that freezes ("roberta" /
+            "wav2vec2").
+        batch_to_inputs: batch dict -> model args.
+    """
+
+    def __init__(
+        self,
+        model,
+        config,
+        *,
+        backbone_key: str,
+        batch_to_inputs: Callable[[dict], tuple],
+        class_weights: np.ndarray | None = None,
+        seed: int = 0,
+    ):
+        self.model = model
+        self.config = config
+        self.backbone_key = backbone_key
+        self.batch_to_inputs = batch_to_inputs
+        self.seed = seed
+        self.logger = RunLogger(config)
+
+        cw = None if class_weights is None else jnp.asarray(class_weights)
+        self.loss_fn = partial(cross_entropy, label_smoothing=0.0, class_weights=cw, ignore_index=-1)
+
+        s = config.solver
+        # text schema: solver.{frozen_lr,finetuning_lr,weight_decay,warmup_epochs}
+        # wav2vec2 schema: solver.{frozen:{lr,weight_decay},finetuning:{lr,weight_decay,warmup_epochs}}
+        if "frozen" in s:
+            self.frozen_lr = float(s.frozen.lr)
+            self.frozen_wd = float(s.frozen.weight_decay)
+            self.finetune_lr = float(s.finetuning.lr)
+            self.finetune_wd = float(s.finetuning.weight_decay)
+            self.warmup_epochs = int(s.finetuning.warmup_epochs)
+        else:
+            self.frozen_lr = float(s.frozen_lr)
+            self.frozen_wd = float(s.weight_decay)
+            self.finetune_lr = float(s.finetuning_lr)
+            self.finetune_wd = float(s.weight_decay)
+            self.warmup_epochs = int(s.warmup_epochs)
+        self.num_frozen_epochs = int(s.num_frozen_epochs)
+
+        self._built = False
+
+    # -- setup -----------------------------------------------------------------
+
+    def _labels_tree(self, params):
+        return {k: ("backbone" if k == self.backbone_key else "head") for k in params.keys()}
+
+    def init_state(self, example_batch: dict, steps_per_epoch: int):
+        rng = jax.random.PRNGKey(self.seed)
+        inputs = self.batch_to_inputs(jax.tree.map(jnp.asarray, example_batch))
+        params = self.model.init({"params": rng}, *inputs)["params"]
+
+        labels = self._labels_tree(params)
+        self.opt_frozen = optax.multi_transform(
+            {
+                "backbone": optax.set_to_zero(),
+                "head": torch_adamw(self.frozen_lr, weight_decay=self.frozen_wd),
+            },
+            labels,
+        )
+        self.finetune_schedule = constant_with_warmup(self.finetune_lr, self.warmup_epochs * steps_per_epoch)
+        self.opt_finetune = torch_adamw(self.finetune_schedule, weight_decay=self.finetune_wd)
+
+        frozen_state = self.opt_frozen.init(params)
+        finetune_state = self.opt_finetune.init(params)
+        self._build_steps()
+        # two parallel opt states; step counts the *unfrozen* batches
+        return {
+            "params": params,
+            "frozen_opt": frozen_state,
+            "finetune_opt": finetune_state,
+            "step": jnp.zeros((), jnp.int32),
+        }
+
+    def _build_steps(self):
+        model, loss_fn, batch_to_inputs = self.model, self.loss_fn, self.batch_to_inputs
+
+        def make_step(optimizer, opt_key, advance_step):
+            def step_fn(state, batch, rng):
+                step_rng = jax.random.fold_in(rng, state["step"])
+
+                def compute_loss(params):
+                    logits = model.apply(
+                        {"params": params}, *batch_to_inputs(batch),
+                        deterministic=False, rngs={"dropout": step_rng},
+                    )
+                    return loss_fn(logits, batch["emotion"])
+
+                loss, grads = jax.value_and_grad(compute_loss)(state["params"])
+                updates, new_opt = optimizer.update(grads, state[opt_key], state["params"])
+                new_params = optax.apply_updates(state["params"], updates)
+                new_state = dict(state)
+                new_state["params"] = new_params
+                new_state[opt_key] = new_opt
+                if advance_step:
+                    new_state["step"] = state["step"] + 1
+                return new_state, loss
+
+            return jax.jit(step_fn, donate_argnums=(0,))
+
+        self._step_frozen = make_step(self.opt_frozen, "frozen_opt", advance_step=False)
+        self._step_finetune = make_step(self.opt_finetune, "finetune_opt", advance_step=True)
+
+        def eval_step(params, batch):
+            logits = model.apply({"params": params}, *batch_to_inputs(batch), deterministic=True)
+            return loss_fn(logits, batch["emotion"]), jnp.argmax(logits, axis=-1)
+
+        self._eval_step = jax.jit(eval_step)
+        self._built = True
+
+    # -- loops -------------------------------------------------------------------
+
+    def train_epoch(self, state, batcher, epoch: int, rng) -> tuple[dict, float]:
+        is_frozen = epoch < self.num_frozen_epochs
+        step_fn = self._step_frozen if is_frozen else self._step_finetune
+        total, batches = 0.0, 0
+        for batch in prefetch(batcher):
+            state, loss = step_fn(state, batch, rng)
+            total += float(loss)
+            batches += 1
+            self.logger.log_step(total / batches)
+        return state, total / max(batches, 1)
+
+    def evaluate(self, params, batcher) -> tuple[float, BatchAveragedMetrics]:
+        metrics = BatchAveragedMetrics()
+        total, batches = 0.0, 0
+        for batch in prefetch(batcher):
+            loss, preds = self._eval_step(params, batch)
+            emotion = np.asarray(batch["emotion"])
+            metrics.update(emotion, np.asarray(preds), mask=emotion != -1)
+            total += float(loss)
+            batches += 1
+        return total / max(batches, 1), metrics
+
+    def fit(self, train_batcher, val_batcher):
+        cfg = self.config
+        epochs = int(cfg.solver.epochs)
+        early = bool(cfg.solver.early_stopping.enabled)
+        patience = int(cfg.solver.early_stopping.patience)
+        restore_best = bool(cfg.solver.early_stopping.restore_best_weights)
+        save_path = os.path.abspath(str(cfg.checkpoint.save_path))
+        best_path = os.path.join(os.path.dirname(save_path), "best_weights.ckpt")
+        save_ckpt = bool(cfg.checkpoint.get("save_checkpoint", True))
+
+        example = next(iter(train_batcher))
+        state = self.init_state(example, steps_per_epoch=len(train_batcher))
+
+        rng = jax.random.PRNGKey(self.seed + 1)
+        min_loss_val = float("inf")
+        patience_counter = 0
+        history = {"loss_values": [], "val_loss_values": []}
+
+        for epoch in range(epochs):
+            t0 = time.perf_counter()
+            state, loss_train = self.train_epoch(state, train_batcher, epoch, rng)
+            loss_val, metrics = self.evaluate(state["params"], val_batcher)
+            dt = time.perf_counter() - t0
+            history["loss_values"].append(loss_train)
+            history["val_loss_values"].append(loss_val)
+
+            if save_ckpt:
+                # FE checkpoints store model params only (text/train.py:165-169)
+                save_checkpoint(save_path, epoch=epoch, params=state["params"])
+
+            is_frozen = epoch < self.num_frozen_epochs
+            lr = self.frozen_lr if is_frozen else float(self.finetune_schedule(state["step"] - 1))
+            self.logger.log_epoch(
+                epoch, lr=lr, loss_train=loss_train, loss_val=loss_val,
+                accuracy=metrics.batch_averaged_accuracy,
+                weighted_f1=metrics.batch_averaged_weighted_f1,
+                epoch_seconds=dt,
+            )
+
+            if early:
+                if loss_val < min_loss_val:
+                    min_loss_val = loss_val
+                    patience_counter = 0
+                    if restore_best:
+                        save_checkpoint(best_path, epoch=epoch, params=state["params"])
+                else:
+                    patience_counter += 1
+                    if patience_counter >= patience:
+                        self.logger.print(f"Early stopping: patience {patience} reached")
+                        if restore_best and os.path.exists(best_path):
+                            best = load_checkpoint(best_path)
+                            state["params"] = restore_into(state["params"], best["params"])
+                            if save_ckpt:
+                                save_checkpoint(save_path, epoch=best["epoch"], params=state["params"])
+                            os.remove(best_path)
+                            self.logger.print(f"Best model at epoch {best['epoch']} restored")
+                        break
+
+        self.logger.finish()
+        return state, history
+
+    def test(self, batcher, params) -> dict:
+        if not self._built:
+            self._build_steps()
+        loss, metrics = self.evaluate(params, batcher)
+        result = {"loss": loss, **metrics.summary()}
+        self.logger.print(
+            f"Accuracy=[{metrics.batch_averaged_accuracy * 100:.3f}%] "
+            f"Weighted_F1=[{metrics.batch_averaged_weighted_f1 * 100:.3f}%]"
+        )
+        return result

@@ -1,0 +1,234 @@
+"""Metric-learning solver for the mel feature extractor (stage 1c).
+
+Reference loop (audio_mel/train.py:117-280): per step, hard-mine a triplet
+batch with the current model (inference mode), then 3 forward passes +
+composite loss (20*triplet + 5*cov + 1*var) + Adam step; per-epoch hard-mined
+validation loss drives early stopping (patience 10) with min_loss_val /
+patience_counter resume — the only reference pipeline that resumes
+early-stop state.
+
+TPU redesign:
+- mining pool embedding and selection are one jitted device program
+  (mer_tpu.mining); the host only fetches waveforms
+- anchor/positive/negative go through ONE forward of [3B, ...] (identical
+  numerics to 3 separate passes: BatchNorm runs in eval stats, the
+  reference's own quirk — audio_mel/train.py:231, see models/resnet.py)
+- the log-mel frontend runs on device right before the encoder, so a "step"
+  is wav bytes -> spectrogram -> embeddings -> loss -> update with no host
+  featurization
+"""
+
+from __future__ import annotations
+
+import os
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from mer_tpu.mining import TripletMiner
+from mer_tpu.objectives.embedding import make_embedding_loss
+from mer_tpu.train.checkpoint import load_checkpoint, restore_into, save_checkpoint
+from mer_tpu.train.solver import TrainState, optimizer_from_config
+from mer_tpu.utils.logging import RunLogger
+
+
+class MelSolver:
+    def __init__(self, model, config, data_train, data_val, seed: int = 0):
+        self.model = model
+        self.config = config
+        self.data_train = data_train
+        self.data_val = data_val
+        self.seed = seed
+        self.logger = RunLogger(config)
+        self.loss_fn = make_embedding_loss(config)
+        self.mining_type = str(config.get_path("solver.mining_type", "hard"))
+        self.batch_size = int(config.train.data_loader.batch_size)
+        self.val_batch_size = int(config.val.data_loader.batch_size)
+
+        # BatchNorm runs in eval stats (the reference quirk, see
+        # models/resnet.py); stats are captured at init and stay constant.
+        self._batch_stats: dict = {}
+
+        def _apply(params, x):
+            return self.model.apply({"params": params, "batch_stats": self._batch_stats}, x)
+
+        self._apply = _apply
+        self._embed = jax.jit(_apply)
+
+        def triplet_step(state: TrainState, spectrograms: jnp.ndarray):
+            def compute_loss(params):
+                emb = _apply(params, spectrograms)  # [3B, D]
+                a, p, n = jnp.split(emb, 3, axis=0)
+                return self.loss_fn(a, p, n)
+
+            loss, grads = jax.value_and_grad(compute_loss)(state.params)
+            updates, new_opt = self._optimizer.update(grads, state.opt_state, state.params)
+            import optax
+
+            new_params = optax.apply_updates(state.params, updates)
+            return state.replace(params=new_params, opt_state=new_opt, step=state.step + 1), loss
+
+        def eval_loss(params, spectrograms: jnp.ndarray):
+            emb = _apply(params, spectrograms)
+            a, p, n = jnp.split(emb, 3, axis=0)
+            return self.loss_fn(a, p, n)
+
+        self._triplet_step_fn = triplet_step
+        self._eval_loss = jax.jit(eval_loss)
+        self._train_step = None
+        self._optimizer = None
+        self._schedule = None
+
+    # -- setup -----------------------------------------------------------------
+
+    def init_state(self) -> TrainState:
+        spec = self.data_train.spectrogram_batch(np.arange(min(2, len(self.data_train))))
+        variables = self.model.init(jax.random.PRNGKey(self.seed), spec)
+        params = variables["params"]
+        self._batch_stats = variables.get("batch_stats", {})
+        steps_per_epoch = len(self.data_train) // self.batch_size
+        self._optimizer, self._schedule = optimizer_from_config(self.config.solver, steps_per_epoch)
+        opt_state = self._optimizer.init(params)
+        self._train_step = jax.jit(self._triplet_step_fn, donate_argnums=(0,))
+        return TrainState(params=params, opt_state=opt_state, step=jnp.zeros((), jnp.int32))
+
+    def _miner(self, dataset, params) -> TripletMiner:
+        def embed_fn(indices):
+            spec = dataset.spectrogram_batch(np.asarray(indices))
+            return self._embed(params, spec)
+
+        return TripletMiner(
+            dataset.get_labels(), embed_fn,
+            len_triplet_picking=int(self.config.solver.len_triplet_picking),
+            seed=self.seed,
+        )
+
+    def _fetch_triplet_batch(self, dataset, a, p, n, key=None) -> jnp.ndarray:
+        idx = np.concatenate([a, p, n])
+        return dataset.spectrogram_batch(idx, key=key)
+
+    # -- epochs ------------------------------------------------------------------
+
+    def train_epoch(self, state: TrainState, epoch: int, rng) -> tuple[TrainState, float]:
+        n_steps = len(self.data_train) // self.batch_size
+        total = 0.0
+        for step in range(n_steps):
+            miner = self._miner(self.data_train, state.params)
+            a, p, n = miner.mine(self.batch_size, self.mining_type)
+            key = jax.random.fold_in(rng, epoch * n_steps + step)
+            spec = self._fetch_triplet_batch(self.data_train, a, p, n, key=key)
+            state, loss = self._train_step(state, spec)
+            total += float(loss)
+            self.logger.log_step(total / (step + 1))
+        return state, total / max(n_steps, 1)
+
+    def validate(self, params) -> float:
+        n_steps = max(len(self.data_val) // self.val_batch_size, 1)
+        miner = self._miner(self.data_val, params)
+        total = 0.0
+        for _ in range(n_steps):
+            a, p, n = miner.mine(self.val_batch_size, self.mining_type)
+            spec = self._fetch_triplet_batch(self.data_val, a, p, n)
+            total += float(self._eval_loss(params, spec))
+        return total / n_steps
+
+    # -- full loop -----------------------------------------------------------------
+
+    def fit(self, state: TrainState | None = None) -> tuple[TrainState, dict]:
+        cfg = self.config
+        epochs = int(cfg.solver.epochs)
+        early = bool(cfg.solver.early_stopping.enabled)
+        patience = int(cfg.solver.early_stopping.patience)
+        restore_best = bool(cfg.solver.early_stopping.restore_best_weights)
+        save_path = os.path.abspath(str(cfg.checkpoint.save_path))
+        best_path = os.path.join(os.path.dirname(save_path), "best_weights.ckpt")
+        save_ckpt = bool(cfg.checkpoint.save_checkpoint)
+
+        if state is None:
+            state = self.init_state()
+
+        start_epoch = 0
+        min_loss_val = float("inf")
+        patience_counter = 0
+        load_path = os.path.abspath(str(cfg.checkpoint.get("load_path", save_path)))
+        if bool(cfg.checkpoint.get("load_checkpoint", False)) and os.path.exists(load_path):
+            restored = load_checkpoint(load_path)
+            state = state.replace(
+                params=restore_into(state.params, restored["params"]),
+                opt_state=restore_into(state.opt_state, restored["opt_state"]),
+            )
+            start_epoch = restored["epoch"] + 1
+            # early-stop state resume (audio_mel/train.py:143-154)
+            min_loss_val = float(restored["extra"].get("min_loss_val", float("inf")))
+            patience_counter = int(restored["extra"].get("patience_counter", 0))
+            if restored["extra"].get("batch_stats"):
+                self._batch_stats = restore_into(self._batch_stats, restored["extra"]["batch_stats"])
+
+        rng = jax.random.PRNGKey(self.seed + 1)
+        history = {"loss_values": [], "val_loss_values": []}
+
+        for epoch in range(start_epoch, epochs):
+            t0 = time.perf_counter()
+            state, loss_train = self.train_epoch(state, epoch, rng)
+            loss_val = self.validate(state.params)
+            dt = time.perf_counter() - t0
+            history["loss_values"].append(loss_train)
+            history["val_loss_values"].append(loss_val)
+
+            extra = {
+                "min_loss_val": min_loss_val,
+                "patience_counter": patience_counter,
+                # constant under the eval-BN quirk, but saved for bn_mode="train" runs
+                "batch_stats": jax.tree.map(lambda x: np.asarray(jax.device_get(x)), self._batch_stats),
+            }
+            if save_ckpt:
+                save_checkpoint(save_path, epoch=epoch, params=state.params, opt_state=state.opt_state, extra=extra)
+
+            lr = float(self._schedule(state.step - 1)) if self._schedule else float(cfg.solver.lr)
+            self.logger.print(
+                f"Epoch: {epoch}  Lr: {lr:.8f}  Loss: Train = [{loss_train:.3E}] - Val = [{loss_val:.3E}] ({dt:.1f}s)"
+            )
+
+            if early:
+                if loss_val < min_loss_val:
+                    min_loss_val = loss_val
+                    patience_counter = 0
+                    if restore_best:
+                        save_checkpoint(
+                            best_path, epoch=epoch, params=state.params, opt_state=state.opt_state,
+                            extra={"min_loss_val": min_loss_val, "patience_counter": patience_counter},
+                        )
+                else:
+                    patience_counter += 1
+                    if patience_counter >= patience:
+                        self.logger.print(f"Early stopping: patience {patience} reached")
+                        if restore_best and os.path.exists(best_path):
+                            best = load_checkpoint(best_path)
+                            state = state.replace(params=restore_into(state.params, best["params"]))
+                            if save_ckpt:
+                                save_checkpoint(
+                                    save_path, epoch=best["epoch"], params=state.params,
+                                    opt_state=state.opt_state, extra=extra,
+                                )
+                            self.logger.print(f"Best model at epoch {best['epoch']} restored")
+                        break
+
+        self.logger.finish()
+        return state, history
+
+    # -- export -------------------------------------------------------------------
+
+    def export_embeddings(self, dataset, params, batch_size: int = 32) -> np.ndarray:
+        """[N, 300] embeddings row-indexed by dataframe order
+        (reference audio_mel/embeddings.py:61-80)."""
+        n = len(dataset)
+        out = np.zeros((n, self.model.embedding_size), dtype=np.float32)
+        for i in range(0, n, batch_size):
+            idx = np.arange(i, min(i + batch_size, n))
+            pad = batch_size - len(idx)
+            spec = dataset.spectrogram_batch(np.concatenate([idx, idx[-1:].repeat(pad)]) if pad else idx)
+            emb = np.asarray(self._embed(params, spec))
+            out[idx] = emb[: len(idx)]
+        return out

@@ -87,3 +87,31 @@ def meld_like_root(tmp_path_factory):
         "test": make_split(8, [(38, 4), (220, 0)], "test_sent_emo.csv"),
     }
     return str(root), sizes
+
+
+@pytest.fixture(scope="session")
+def meld_like_root_with_wavs(meld_like_root):
+    """Extends the synthetic MELD root with tiny 16 kHz wav clips for every
+    utterance row in every split (reference wav layout,
+    audio_mel/dataset.py:36-46)."""
+    root, sizes = meld_like_root
+    import pandas as pd
+
+    from mer_tpu.data.audio_io import save_wav
+
+    wav_dirs = {
+        "train_sent_emo.csv": "MELD.Raw/train_splits/wav",
+        "dev_sent_emo.csv": "MELD.Raw/dev_splits_complete/wav",
+        "test_sent_emo.csv": "MELD.Raw/output_repeated_splits_test/wav",
+    }
+    rng = np.random.default_rng(42)
+    for csv_name, wav_dir in wav_dirs.items():
+        df = pd.read_csv(os.path.join(root, "MELD.Raw", csv_name))
+        out_dir = os.path.join(root, wav_dir)
+        os.makedirs(out_dir, exist_ok=True)
+        for _, row in df.iterrows():
+            n = int(rng.integers(4000, 12000))  # 0.25-0.75 s
+            wave = (0.3 * np.sin(2 * np.pi * 440 * np.arange(n) / 16000)
+                    + 0.05 * rng.normal(size=n)).astype(np.float32)
+            save_wav(os.path.join(out_dir, f"dia{row.Dialogue_ID}_utt{row.Utterance_ID}.wav"), wave, 16000)
+    return root, sizes
