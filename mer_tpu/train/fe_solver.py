@@ -182,7 +182,7 @@ class FESolver:
             batches += 1
         return total / max(batches, 1), metrics
 
-    def fit(self, train_batcher, val_batcher):
+    def fit(self, train_batcher, val_batcher, state: dict | None = None):
         cfg = self.config
         epochs = int(cfg.solver.epochs)
         early = bool(cfg.solver.early_stopping.enabled)
@@ -192,8 +192,9 @@ class FESolver:
         best_path = os.path.join(os.path.dirname(save_path), "best_weights.ckpt")
         save_ckpt = bool(cfg.checkpoint.get("save_checkpoint", True))
 
-        example = next(iter(train_batcher))
-        state = self.init_state(example, steps_per_epoch=len(train_batcher))
+        if state is None:
+            example = next(iter(train_batcher))
+            state = self.init_state(example, steps_per_epoch=len(train_batcher))
 
         rng = jax.random.PRNGKey(self.seed + 1)
         min_loss_val = float("inf")

@@ -1,0 +1,57 @@
+"""wav2vec2 FE training — parity with the reference audio_wav2vec2/train.py:
+fine-tune wav2vec2 on MELD utterance waveforms with the two-phase
+freeze/fine-tune scheme (per-phase lr/weight-decay)."""
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+from fe_common import REPO_ROOT, load_wav2vec2_model, parse_args, with_pretrained_backbone
+
+from mer_tpu.core import load_config
+from mer_tpu.data import Wav2Vec2Batcher, Wav2Vec2FeatureDataset
+from mer_tpu.objectives import balanced_class_weights
+from mer_tpu.train import FESolver
+
+CONFIG = os.path.join(REPO_ROOT, "src", "feature_extractors", "audio_wav2vec2", "config.yaml")
+
+
+def main(argv=None):
+    args = parse_args(argv, default_config=CONFIG)
+    config = load_config(args.config)
+    if args.epochs is not None:
+        config = config.override(solver__epochs=args.epochs)
+
+    model, pretrained = load_wav2vec2_model(args)
+
+    data_train = Wav2Vec2FeatureDataset("train", data_root=args.data_root)
+    data_val = Wav2Vec2FeatureDataset("val", data_root=args.data_root)
+    print(f"Loaded {len(data_train)} utterances for training")
+    print(f"Loaded {len(data_val)} utterances for valing")
+
+    batch_size = int(config.get_path("tpu.batch_size_override") or config.train.data_loader.batch_size)
+    dl_train = Wav2Vec2Batcher(data_train, batch_size, shuffle=bool(config.train.data_loader.shuffle))
+    dl_val = Wav2Vec2Batcher(data_val, batch_size)
+
+    class_weights = (
+        balanced_class_weights(data_train.get_labels()) if bool(config.solver.balance_classes) else None
+    )
+
+    solver = FESolver(
+        model, config, backbone_key="wav2vec2",
+        batch_to_inputs=lambda b: (b["audio"], b["lengths"]),
+        class_weights=class_weights,
+    )
+
+    example = next(iter(dl_train))
+    state = solver.init_state(example, steps_per_epoch=len(dl_train))
+    state = with_pretrained_backbone(solver, state, "wav2vec2", pretrained)
+
+    print("Training...")
+    state, history = solver.fit(dl_train, dl_val, state=state)
+    print("Training complete")
+    return state, history
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,94 @@
+"""Shared wiring for the feature-extractor entry points.
+
+Each pipeline keeps the reference's invocation surface
+(``python src/feature_extractors/<name>/train.py`` from the repo root, same
+config files).  Pretrained backbone weights (roberta-base / wav2vec2-base)
+are imported from HF torch checkpoints when available locally; ``--random-init``
+gives a smoke-runnable path without them.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+
+REPO_ROOT = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+if REPO_ROOT not in sys.path:
+    sys.path.insert(0, REPO_ROOT)
+
+
+def parse_args(argv=None, default_config: str | None = None):
+    p = argparse.ArgumentParser()
+    p.add_argument("--config", default=default_config)
+    p.add_argument("--data-root", default=None)
+    p.add_argument("--epochs", type=int, default=None)
+    p.add_argument("--random-init", action="store_true",
+                   help="skip pretrained backbone import (smoke runs)")
+    p.add_argument("--toy-tokenizer", action="store_true",
+                   help="text pipeline: hash tokenizer instead of HF RoBERTa vocab")
+    p.add_argument("--pretrained", default=None,
+                   help="HF model name or local path for the backbone weights")
+    return p.parse_args(argv)
+
+
+def load_text_model_and_tokenizer(args, variant: str = "roberta-base"):
+    """TextERC + tokenizer; imports HF weights unless --random-init."""
+    import jax
+
+    from mer_tpu.data.text_fe import ToyWhitespaceTokenizer, load_roberta_tokenizer
+    from mer_tpu.models.roberta import RobertaConfig, TextERC, convert_hf_roberta
+
+    cfg = RobertaConfig.large() if "large" in variant else RobertaConfig.base()
+    model = TextERC(cfg)
+
+    tokenizer = (
+        ToyWhitespaceTokenizer(vocab_size=cfg.vocab_size)
+        if args.toy_tokenizer
+        else load_roberta_tokenizer(args.pretrained or variant)
+    )
+
+    pretrained_params = None
+    if not args.random_init:
+        import transformers
+
+        hf = transformers.RobertaModel.from_pretrained(args.pretrained or variant, add_pooling_layer=False)
+        pretrained_params = convert_hf_roberta(hf.state_dict(), cfg)
+    return model, tokenizer, pretrained_params
+
+
+def load_wav2vec2_model(args, variant: str = "facebook/wav2vec2-base"):
+    from mer_tpu.models.wav2vec2 import AudioERC, Wav2Vec2Config, convert_hf_wav2vec2
+
+    cfg = Wav2Vec2Config.base()
+    model = AudioERC(cfg)
+    pretrained_params = None
+    if not args.random_init:
+        import transformers
+
+        hf = transformers.Wav2Vec2Model.from_pretrained(args.pretrained or variant)
+        pretrained_params = convert_hf_wav2vec2(hf.state_dict(), cfg)
+    return model, pretrained_params
+
+
+def with_pretrained_backbone(solver, state: dict, backbone_key: str, pretrained_params):
+    """Overwrite the backbone subtree of an initialized FE state with
+    imported pretrained weights."""
+    if pretrained_params is None:
+        return state
+    from mer_tpu.train.checkpoint import restore_into
+
+    state["params"][backbone_key] = restore_into(state["params"][backbone_key], pretrained_params)
+    return state
+
+
+def export_embedding_table(embed_batches, n_rows: int, dim: int):
+    """Assemble [N, D] float32 from (row_indices, embeddings) batches —
+    scatter semantics matching the reference exporters
+    (text/embeddings.py:70,86-90)."""
+    import numpy as np
+
+    out = np.zeros((n_rows, dim), dtype=np.float32)
+    for idx, emb in embed_batches:
+        out[np.asarray(idx)] = np.asarray(emb)[: len(idx)]
+    return out
