@@ -1,0 +1,106 @@
+"""Fused masked attention kernel (Pallas TPU).
+
+For the frame/token axes of this workload (RoBERTa <=512 tokens, wav2vec2
+<=499 frames, mel 1001 frames) the whole K/V row set for one (batch, head)
+fits comfortably in VMEM (512 x 128 x f32 = 256 KB), so the kernel computes
+one q-block's full attention in a single pass — scores, masked softmax and
+the value contraction fused on-chip.  vs. the unfused XLA path this avoids
+materializing [B, H, S, S] probabilities in HBM, the dominant memory traffic
+of the encoders' attention at these sizes.
+
+Masking semantics match mer_tpu.ops.attention (torch key_padding_mask,
+True = ignore).  Inputs are padded to block multiples by the wrapper; padded
+*query* rows produce garbage that callers never read (same contract as the
+reference's torch modules), padded *key* rows are masked out.
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+BLOCK_Q = 128
+_NEG_INF = -1e30
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+def _kernel(q_ref, k_ref, v_ref, bias_ref, out_ref, *, scale: float):
+    q = q_ref[0]          # [BQ, D]
+    k = k_ref[0]          # [S, D]
+    v = v_ref[0]          # [S, D]
+    bias = bias_ref[0]    # [1, S]
+
+    scores = jax.lax.dot_general(
+        q * scale, k,
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # [BQ, S]
+    scores = scores + bias  # broadcast [1, S]
+
+    m = jnp.max(scores, axis=-1, keepdims=True)
+    p = jnp.exp(scores - m)
+    denom = jnp.sum(p, axis=-1, keepdims=True)
+    p = p / denom
+
+    out_ref[0] = jnp.dot(p.astype(v.dtype), v, preferred_element_type=jnp.float32).astype(out_ref.dtype)
+
+
+def flash_attention(
+    q: jnp.ndarray,
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    *,
+    key_padding_mask: jnp.ndarray | None = None,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """[B, H, Sq, Dh] x [B, H, Sk, Dh]^2 -> [B, H, Sq, Dh], fused on TPU."""
+    b, h, sq, dh = q.shape
+    sk = k.shape[2]
+    scale = 1.0 / math.sqrt(dh)
+
+    sq_p = _round_up(sq, BLOCK_Q)
+    sk_p = _round_up(sk, 128)
+    dh_p = _round_up(dh, 128)
+
+    qp = jnp.pad(q, ((0, 0), (0, 0), (0, sq_p - sq), (0, dh_p - dh))).reshape(b * h, sq_p, dh_p)
+    kp = jnp.pad(k, ((0, 0), (0, 0), (0, sk_p - sk), (0, dh_p - dh))).reshape(b * h, sk_p, dh_p)
+    vp = jnp.pad(v, ((0, 0), (0, 0), (0, sk_p - sk), (0, dh_p - dh))).reshape(b * h, sk_p, dh_p)
+
+    # key bias [B, 1, Sk_p]: -inf at padded keys and beyond-sk tail
+    if key_padding_mask is None:
+        key_ignore = jnp.zeros((b, sk), bool)
+    else:
+        key_ignore = key_padding_mask
+    key_ignore = jnp.pad(key_ignore, ((0, 0), (0, sk_p - sk)), constant_values=True)
+    bias = jnp.where(key_ignore, _NEG_INF, 0.0).astype(jnp.float32)[:, None, :]  # [B, 1, Sk_p]
+    bias = jnp.broadcast_to(bias[:, None], (b, h, 1, sk_p)).reshape(b * h, 1, sk_p)
+
+    grid = (b * h, sq_p // BLOCK_Q)
+    out = pl.pallas_call(
+        functools.partial(_kernel, scale=scale),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, BLOCK_Q, dh_p), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, sk_p, dh_p), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, sk_p, dh_p), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, sk_p), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, BLOCK_Q, dh_p), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b * h, sq_p, dh_p), q.dtype),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * b * h * sq_p * sk_p * dh_p * 2,
+            bytes_accessed=(qp.size + kp.size + vp.size) * 4,
+            transcendentals=b * h * sq_p * sk_p,
+        ),
+        interpret=interpret,
+    )(qp, kp, vp, bias)
+
+    return out.reshape(b, h, sq_p, dh_p)[:, :, :sq, :dh]

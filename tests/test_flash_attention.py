@@ -1,0 +1,53 @@
+"""Fused attention kernel vs the reference jnp implementation."""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from mer_tpu.ops.attention import _attention_reference
+from mer_tpu.ops.flash_attention import flash_attention
+
+
+def _qkv(b=2, h=4, sq=130, sk=130, dh=24, seed=0):
+    rng = np.random.default_rng(seed)
+    mk = lambda s: jnp.asarray(rng.normal(size=(b, h, s, dh)).astype(np.float32))
+    return mk(sq), mk(sk), mk(sk)
+
+
+class TestFlashAttention:
+    @pytest.mark.parametrize("use_mask", [False, True])
+    def test_matches_reference(self, use_mask):
+        q, k, v = _qkv()
+        mask = None
+        if use_mask:
+            rng = np.random.default_rng(1)
+            mask = rng.random((2, 130)) < 0.3
+            mask[:, 0] = False
+            mask = jnp.asarray(mask)
+
+        ref = _attention_reference(
+            q, k, v, key_padding_mask=mask, dropout_rate=0.0, dropout_rng=None, deterministic=True
+        )
+        got = flash_attention(q, k, v, key_padding_mask=mask, interpret=True)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=2e-4, atol=2e-5)
+
+    def test_cross_attention_lengths(self):
+        q, _, _ = _qkv(sq=64, dh=32, seed=2)
+        _, k, v = _qkv(sk=200, dh=32, seed=3)
+        ref = _attention_reference(
+            q, k, v, key_padding_mask=None, dropout_rate=0.0, dropout_rng=None, deterministic=True
+        )
+        got = flash_attention(q, k, v, interpret=True)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=2e-4, atol=2e-5)
+
+    def test_roberta_shape(self):
+        """512 tokens, 12 heads, dh=64 — the text FE's actual attention shape."""
+        q, k, v = _qkv(b=1, h=12, sq=512, sk=512, dh=64, seed=4)
+        rng = np.random.default_rng(5)
+        mask = jnp.asarray(rng.random((1, 512)) < 0.2)
+        ref = _attention_reference(
+            q, k, v, key_padding_mask=mask, dropout_rate=0.0, dropout_rng=None, deterministic=True
+        )
+        got = flash_attention(q, k, v, key_padding_mask=mask, interpret=True)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=2e-4, atol=5e-5)
