@@ -1,0 +1,186 @@
+"""End-to-end streaming inference: raw utterances -> emotion predictions.
+
+BASELINE.json config 5: "mp4->wav->mel on-device + both encoders + M2FNet
+inference on full MELD test".  The reference has no such path — it requires
+three separate export runs writing pickles to disk between stages
+(SURVEY.md §3.5).  Here the whole thing is one pipelined program:
+
+  host:   wav decode (data/audio_io) + tokenization        } prefetch thread
+  device: wav2vec2 utterance embeddings   (jit, bucketed)  }
+  device: RoBERTa [CLS] utterance embeddings (jit, bucketed)
+  device: dialogue grouping -> M2FNet fusion logits (jit, bucketed)
+
+No intermediate artifacts touch disk; utterance embeddings stream straight
+into dialogue batches.  Throughput metric: utterances/sec end-to-end.
+"""
+
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from mer_tpu.data.fusion import DEFAULT_LENGTH_BUCKETS, FusionBatcher, collate_dialogues
+from mer_tpu.models.m2fnet import M2FNet
+from mer_tpu.models.roberta import TextERC
+from mer_tpu.models.wav2vec2 import AudioERC
+from mer_tpu.objectives.metrics import BatchAveragedMetrics
+
+
+@dataclass
+class E2EModels:
+    text_model: TextERC
+    text_params: dict
+    audio_model: AudioERC
+    audio_params: dict
+    fusion_model: M2FNet
+    fusion_params: dict
+
+
+class StreamingPipeline:
+    """Chains the three models with device-resident intermediates."""
+
+    def __init__(self, models: E2EModels, utterance_batch: int = 32, dialogue_batch: int = 32,
+                 buckets=DEFAULT_LENGTH_BUCKETS):
+        self.m = models
+        self.utterance_batch = utterance_batch
+        self.dialogue_batch = dialogue_batch
+        self.buckets = buckets
+
+        self._text_embed = jax.jit(
+            lambda ids, mask: self.m.text_model.apply(
+                {"params": self.m.text_params}, ids, mask, method=TextERC.embed
+            )
+        )
+        self._audio_embed = jax.jit(
+            lambda audio, lengths: self.m.audio_model.apply(
+                {"params": self.m.audio_params}, audio, lengths, method=AudioERC.embed
+            )
+        )
+        self._fusion = jax.jit(
+            lambda text, audio, mask: jnp.argmax(
+                self.m.fusion_model.apply({"params": self.m.fusion_params}, text, audio, mask), axis=-1
+            )
+        )
+
+    # -- stage 1: utterance embeddings ---------------------------------------
+
+    def embed_utterances(self, batches) -> tuple[np.ndarray, np.ndarray]:
+        """Consume mixed host batches with both modalities:
+        {"text", "attention_mask", "audio", "lengths", "idx", "emotion"}.
+        Returns ([N, Dt], [N, Da]) embedding tables."""
+        text_rows, audio_rows, idx_rows = [], [], []
+        pending = []
+        for b in batches:
+            te = self._text_embed(jnp.asarray(b["text"]), jnp.asarray(b["attention_mask"]))
+            ae = self._audio_embed(jnp.asarray(b["audio"]), jnp.asarray(b["lengths"]))
+            valid = b["emotion"] != -1
+            pending.append((b["idx"][valid], te, ae, valid))
+        # fetch after all dispatches (keeps the device queue full)
+        for idx, te, ae, valid in pending:
+            text_rows.append(np.asarray(te)[valid])
+            audio_rows.append(np.asarray(ae)[valid])
+            idx_rows.append(idx)
+        idx = np.concatenate(idx_rows)
+        order = np.argsort(idx)
+        return (
+            np.concatenate(text_rows)[order],
+            np.concatenate(audio_rows)[order],
+        )
+
+    # -- stage 2: fusion over dialogues ---------------------------------------
+
+    def predict_dialogues(self, dialogues: list[dict]) -> tuple[np.ndarray, np.ndarray]:
+        """dialogues: [{"text": [U, Dt], "audio": [U, Da], "emotion": [U]}].
+        Returns flat (y_true, y_pred) over utterances."""
+        y_true, y_pred = [], []
+        for i in range(0, len(dialogues), self.dialogue_batch):
+            chunk = dialogues[i : i + self.dialogue_batch]
+            batch = collate_dialogues(chunk, self.dialogue_batch, self.buckets)
+            preds = np.asarray(
+                self._fusion(
+                    jnp.asarray(batch["text"]), jnp.asarray(batch["audio"]),
+                    jnp.asarray(batch["padding_mask"]),
+                )
+            )
+            mask = batch["emotion"] != -1
+            y_true.append(batch["emotion"][mask])
+            y_pred.append(preds[mask])
+        return np.concatenate(y_true), np.concatenate(y_pred)
+
+    # -- full run -------------------------------------------------------------
+
+    def run(self, utterance_batches, df, timed: bool = True) -> dict:
+        """utterance_batches: host iterator of mixed-modality batches;
+        df: the get_text dataframe (dialogue structure + labels)."""
+        from mer_tpu.core import dialogue_index
+
+        t0 = time.perf_counter()
+        text_emb, audio_emb = self.embed_utterances(utterance_batches)
+
+        labels = df["Emotion"].to_numpy()
+        dialogues = []
+        for dia, rows in dialogue_index(df).items():
+            rows = np.asarray(rows)
+            dialogues.append(
+                {"dialogue_id": dia, "text": text_emb[rows], "audio": audio_emb[rows],
+                 "emotion": labels[rows].astype(np.int64)}
+            )
+        y_true, y_pred = self.predict_dialogues(dialogues)
+        dt = time.perf_counter() - t0
+
+        metrics = BatchAveragedMetrics()
+        metrics.update(y_true, y_pred, mask=np.ones_like(y_true, bool))
+        out = {
+            "n_utterances": int(len(y_true)),
+            "seconds": dt,
+            "utterances_per_sec": len(y_true) / dt if timed else None,
+            "accuracy": metrics.pooled_accuracy,
+            "weighted_f1": metrics.pooled_weighted_f1,
+        }
+        return out
+
+
+def mixed_utterance_batches(text_ds, w2v_ds, batch_size: int = 16,
+                            seconds_buckets=(2.0, 4.0, 6.0, 8.0, 10.0), token_buckets=(64, 128, 256, 512)):
+    """Host generator yielding batches carrying BOTH modalities for the same
+    utterance rows (text_ds: TextFeatureDataset, w2v_ds: Wav2Vec2FeatureDataset)."""
+    n = len(text_ds)
+    assert len(w2v_ds) == n
+    sample_buckets = tuple(int(s * w2v_ds.sample_rate) for s in seconds_buckets)
+
+    def bucket(x, ladder):
+        for b in ladder:
+            if x <= b:
+                return b
+        return ladder[-1]
+
+    for i in range(0, n, batch_size):
+        idx = np.arange(i, min(i + batch_size, n))
+        pad = batch_size - len(idx)
+        full = np.concatenate([idx, idx[-1:].repeat(pad)]) if pad else idx
+
+        texts = [text_ds.texts[j] for j in full]
+        ids, mask = text_ds.tokenizer(texts)
+        width = bucket(ids.shape[1], token_buckets)
+        ids, mask = text_ds.tokenizer(texts, pad_to=width)
+
+        waves = [w2v_ds.waveform(j) for j in full]
+        wwidth = bucket(max(len(w) for w in waves), sample_buckets)
+        audio = np.zeros((batch_size, wwidth), np.float32)
+        lengths = np.zeros((batch_size,), np.int32)
+        for k, w in enumerate(waves):
+            w = w[:wwidth]
+            audio[k, : len(w)] = w
+            lengths[k] = len(w)
+
+        emotion = text_ds.labels[full].astype(np.int32).copy()
+        if pad:
+            emotion[len(idx):] = -1
+        yield {
+            "idx": full, "text": ids, "attention_mask": mask,
+            "audio": audio, "lengths": lengths, "emotion": emotion,
+        }

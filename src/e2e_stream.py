@@ -1,0 +1,104 @@
+"""End-to-end streaming inference entry point (BASELINE.json config 5):
+wav (+ transcripts) -> on-device wav2vec2 + RoBERTa utterance embeddings ->
+M2FNet fusion -> per-utterance emotion predictions, with no intermediate
+artifacts on disk.
+
+Checkpoints: loads the fusion checkpoint (src/config.yaml) and the FE
+checkpoints when present; otherwise random-init (throughput-valid smoke mode).
+"""
+
+import argparse
+import os
+import sys
+
+REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+if REPO_ROOT not in sys.path:
+    sys.path.insert(0, REPO_ROOT)
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from mer_tpu.core import get_text, load_config, map_emotions
+from mer_tpu.data import TextFeatureDataset, ToyWhitespaceTokenizer, Wav2Vec2FeatureDataset
+from mer_tpu.models.m2fnet import M2FNet
+from mer_tpu.models.roberta import RobertaConfig, TextERC
+from mer_tpu.models.wav2vec2 import AudioERC, Wav2Vec2Config
+from mer_tpu.pipelines import E2EModels, StreamingPipeline, mixed_utterance_batches
+from mer_tpu.train import load_checkpoint
+from mer_tpu.train.checkpoint import restore_into
+
+
+def _maybe_load(params, path, subtree=None):
+    if path and os.path.exists(path):
+        restored = load_checkpoint(path)["params"]
+        if subtree:
+            restored = restored.get(subtree, restored)
+            params = restore_into(params, restored)
+        else:
+            params = restore_into(params, restored)
+        print(f"loaded {path}")
+    return params
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser()
+    p.add_argument("--mode", default="test")
+    p.add_argument("--data-root", default=None)
+    p.add_argument("--toy-tokenizer", action="store_true")
+    p.add_argument("--utterance-batch", type=int, default=32)
+    args = p.parse_args(argv)
+
+    fusion_cfg = load_config(os.path.join(REPO_ROOT, "src", "config.yaml"))
+
+    if args.toy_tokenizer:
+        tokenizer = ToyWhitespaceTokenizer()
+    else:
+        from mer_tpu.data.text_fe import load_roberta_tokenizer
+
+        tokenizer = load_roberta_tokenizer()
+
+    text_ds = TextFeatureDataset(args.mode, tokenizer, data_root=args.data_root)
+    w2v_ds = Wav2Vec2FeatureDataset(args.mode, data_root=args.data_root)
+    df = map_emotions(get_text(args.mode, data_root=args.data_root))
+    print(f"Loaded {len(text_ds)} utterances for {args.mode}")
+
+    dtype = jnp.bfloat16
+    text_model = TextERC(RobertaConfig.base(), dtype=dtype)
+    audio_model = AudioERC(Wav2Vec2Config.base(), dtype=dtype)
+    fusion_model = M2FNet.from_config(fusion_cfg.model, dtype=dtype)
+
+    rng = jax.random.PRNGKey(0)
+    ids = jnp.zeros((2, 16), jnp.int32)
+    mask = jnp.ones((2, 16), jnp.int32)
+    text_params = text_model.init(rng, ids, mask)["params"]
+    audio_params = audio_model.init(rng, jnp.zeros((2, 16000)), jnp.full((2,), 16000))["params"]
+    fusion_params = fusion_model.init(
+        rng, jnp.zeros((2, 4, 768)), jnp.zeros((2, 4, 768)), jnp.zeros((2, 4), bool)
+    )["params"]
+
+    text_params = _maybe_load(text_params, os.path.abspath("checkpoints/text/checkpoint.ckpt"))
+    audio_params = _maybe_load(audio_params, os.path.abspath("checkpoints/audio_wav2vec2/checkpoint.ckpt"))
+    fusion_params = _maybe_load(fusion_params, os.path.abspath(str(fusion_cfg.checkpoint.load_path)))
+
+    pipeline = StreamingPipeline(
+        E2EModels(text_model, text_params, audio_model, audio_params, fusion_model, fusion_params),
+        utterance_batch=args.utterance_batch,
+        dialogue_batch=int(fusion_cfg.test.data_loader.batch_size),
+    )
+
+    batches = mixed_utterance_batches(text_ds, w2v_ds, batch_size=args.utterance_batch)
+    # warmup pass compiles every bucket shape, second pass is the timed run
+    pipeline.run(mixed_utterance_batches(text_ds, w2v_ds, batch_size=args.utterance_batch), df)
+    result = pipeline.run(batches, df)
+    print(
+        f"e2e streaming: {result['n_utterances']} utterances in {result['seconds']:.2f}s "
+        f"({result['utterances_per_sec']:.1f} utt/s) "
+        f"Accuracy=[{result['accuracy'] * 100:.3f}%] Weighted_F1=[{result['weighted_f1'] * 100:.3f}%]"
+    )
+    return result
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,127 @@
+"""End-to-end streaming pipeline test with tiny models on the synthetic MELD
+root, plus fusion-checkpoint import index math."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from mer_tpu.data import TextFeatureDataset, ToyWhitespaceTokenizer, Wav2Vec2FeatureDataset
+from mer_tpu.core import get_text, map_emotions
+from mer_tpu.models.m2fnet import M2FNet
+from mer_tpu.models.roberta import RobertaConfig, TextERC
+from mer_tpu.models.wav2vec2 import AudioERC, Wav2Vec2Config
+from mer_tpu.pipelines import E2EModels, StreamingPipeline, mixed_utterance_batches
+
+D = 32
+
+ROBERTA = RobertaConfig(
+    vocab_size=1000, hidden_size=D, num_hidden_layers=1, num_attention_heads=4,
+    intermediate_size=64, max_position_embeddings=520,
+)
+W2V = Wav2Vec2Config(
+    conv_dim=(16, 16), conv_kernel=(10, 3), conv_stride=(5, 2),
+    hidden_size=D, num_hidden_layers=1, num_attention_heads=4, intermediate_size=64,
+    num_conv_pos_embeddings=16, num_conv_pos_embedding_groups=4,
+)
+
+
+class TestStreamingPipeline:
+    def test_full_run(self, meld_like_root_with_wavs):
+        root, sizes = meld_like_root_with_wavs
+        tok = ToyWhitespaceTokenizer(vocab_size=1000)
+        text_ds = TextFeatureDataset("val", tok, data_root=root)
+        w2v_ds = Wav2Vec2FeatureDataset("val", data_root=root)
+        df = map_emotions(get_text("val", data_root=root))
+
+        rng = jax.random.PRNGKey(0)
+        text_model = TextERC(ROBERTA)
+        audio_model = AudioERC(W2V)
+        fusion_model = M2FNet(
+            d_model_audio=D, d_model_text=D, d_model_fam=D,
+            n_head_audio=4, n_head_text=4, n_head_fam=4,
+            n_layers_audio=1, n_layers_text=1, n_layers_fam=1,
+            hidden_size_classifier=D,
+        )
+        models = E2EModels(
+            text_model,
+            text_model.init(rng, jnp.zeros((2, 8), jnp.int32), jnp.ones((2, 8), jnp.int32))["params"],
+            audio_model,
+            audio_model.init(rng, jnp.zeros((2, 16000)), jnp.full((2,), 16000))["params"],
+            fusion_model,
+            fusion_model.init(
+                rng, jnp.zeros((2, 4, D)), jnp.zeros((2, 4, D)), jnp.zeros((2, 4), bool)
+            )["params"],
+        )
+        pipeline = StreamingPipeline(models, utterance_batch=8, dialogue_batch=4)
+        batches = mixed_utterance_batches(text_ds, w2v_ds, batch_size=8, seconds_buckets=(1.0,))
+        result = pipeline.run(batches, df)
+        assert result["n_utterances"] == sizes["val"]
+        assert 0.0 <= result["accuracy"] <= 1.0
+        assert result["utterances_per_sec"] > 0
+
+
+class TestFusionCheckpointImport:
+    def test_classifier_sequential_index_math(self):
+        """The reference's output_layer is an nn.Sequential whose Linear
+        positions depend on n_layers_classifier (src/model.py:89-100); the
+        converter must map them to classifier_0..N/classifier_out."""
+        torch = pytest.importorskip("torch")
+        from mer_tpu.models.torch_import import convert_m2fnet_state_dict
+
+        d, h = 16, 4
+        for n_layers_cls in [2, 3, 4]:
+            # construct a torch state dict structurally identical to the
+            # reference model at tiny size
+            tmods = {}
+            enc = torch.nn.TransformerEncoder(
+                torch.nn.TransformerEncoderLayer(d_model=d, nhead=h, batch_first=True),
+                num_layers=1, norm=torch.nn.LayerNorm(d),
+            )
+            sd = {}
+            for mod_name in ["audio_encoders.0", "text_encoders.0"]:
+                for k, v in enc.state_dict().items():
+                    sd[f"{mod_name}.{k}"] = v
+            for name in ["audio_proj", "text_proj"]:
+                lin = torch.nn.Linear(d, d)
+                for k, v in lin.state_dict().items():
+                    sd[f"{name}.{k}"] = v
+            mha = torch.nn.MultiheadAttention(d, h, batch_first=True)
+            lin = torch.nn.Linear(2 * d, d)
+            for k, v in mha.state_dict().items():
+                sd[f"fusion_layers.0.multihead_attention.{k}"] = v
+            for k, v in lin.state_dict().items():
+                sd[f"fusion_layers.0.linear.{k}"] = v
+
+            # classifier Sequential with reference layout
+            seq = [torch.nn.Linear(2 * d, d)]
+            for _ in range(n_layers_cls - 2):
+                seq += [torch.nn.ReLU(), torch.nn.Linear(d, d)]
+            seq += [torch.nn.ReLU(), torch.nn.Dropout(0.4), torch.nn.Linear(d, 7)]
+            head = torch.nn.Sequential(*seq)
+            for k, v in head.state_dict().items():
+                sd[f"output_layer.{k}"] = v
+
+            model = M2FNet(
+                d_model_audio=d, d_model_text=d, d_model_fam=d,
+                n_head_audio=h, n_head_text=h, n_head_fam=h,
+                n_layers_audio=1, n_layers_text=1, n_layers_fam=1,
+                n_layers_classifier=n_layers_cls, hidden_size_classifier=d,
+            )
+            params = convert_m2fnet_state_dict(sd, model)
+
+            # converted params must drop cleanly into the flax model and match
+            # shapes of a fresh init
+            rng = jax.random.PRNGKey(0)
+            x = jnp.zeros((2, 3, d))
+            mask = jnp.zeros((2, 3), bool)
+            init_params = model.init(rng, x, x, mask)["params"]
+            init_flat = jax.tree_util.tree_flatten_with_path(init_params)[0]
+            conv_flat = jax.tree_util.tree_flatten_with_path(params)[0]
+            init_shapes = {jax.tree_util.keystr(k): v.shape for k, v in init_flat}
+            conv_shapes = {jax.tree_util.keystr(k): np.asarray(v).shape for k, v in conv_flat}
+            assert init_shapes == conv_shapes
+
+            out = model.apply({"params": params}, x, x, mask)
+            assert out.shape == (2, 3, 7)
