@@ -163,12 +163,19 @@ class FESolver:
     def train_epoch(self, state, batcher, epoch: int, rng) -> tuple[dict, float]:
         is_frozen = epoch < self.num_frozen_epochs
         step_fn = self._step_frozen if is_frozen else self._step_finetune
+        sync_every_step = self.logger.wants_step_logs
+        losses = []
         total, batches = 0.0, 0
         for batch in prefetch(batcher):
             state, loss = step_fn(state, batch, rng)
-            total += float(loss)
             batches += 1
-            self.logger.log_step(total / batches)
+            if sync_every_step:
+                total += float(loss)
+                self.logger.log_step(total / batches)
+            else:
+                losses.append(loss)
+        if not sync_every_step:
+            total = float(jnp.sum(jnp.stack(losses))) if losses else 0.0
         return state, total / max(batches, 1)
 
     def evaluate(self, params, batcher) -> tuple[float, BatchAveragedMetrics]:

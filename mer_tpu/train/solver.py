@@ -197,12 +197,22 @@ class Solver:
     def train_epoch(self, state: TrainState, batcher, rng) -> tuple[TrainState, float]:
         if self._train_step is None:
             self._build_steps()
+        # Losses stay on device during the epoch — a per-step float() would
+        # stall the dispatch pipeline. Per-step running-loss logging (the
+        # reference's wandb semantics) only happens when a logger wants it.
+        sync_every_step = self.logger.wants_step_logs
+        losses = []
         total, batches = 0.0, 0
         for batch in prefetch(batcher, sharding=self.data_sharding):
             state, loss = self._train_step(state, batch, rng)
-            total += float(loss)
             batches += 1
-            self.logger.log_step(total / batches)
+            if sync_every_step:
+                total += float(loss)
+                self.logger.log_step(total / batches)
+            else:
+                losses.append(loss)
+        if not sync_every_step:
+            total = float(jnp.sum(jnp.stack(losses))) if losses else 0.0
         return state, total / max(batches, 1)
 
     def evaluate(self, params, batcher) -> tuple[float, BatchAveragedMetrics]:

@@ -36,6 +36,12 @@ class RunLogger:
             except ImportError:
                 print("wandb enabled in config but not installed; falling back to console logging")
 
+    @property
+    def wants_step_logs(self) -> bool:
+        """Per-step running-loss logging forces a device sync per batch; only
+        worth paying when wandb is actually recording it."""
+        return self._wandb is not None
+
     def print(self, msg: str) -> None:
         print(msg)
 
