@@ -59,7 +59,7 @@ def bench_tpu(batcher, n_utterances: int, repeats: int = 5) -> float:
     from mer_tpu.data import prefetch
     from mer_tpu.models import M2FNet
 
-    model = M2FNet(dtype=jnp.bfloat16)
+    model = M2FNet(dtype=jnp.bfloat16, scan_layers=True)
     host_batches = list(batcher)
     example = host_batches[0]
     params = model.init(

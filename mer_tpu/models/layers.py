@@ -112,8 +112,37 @@ class TransformerEncoderLayer(nn.Module):
         return x
 
 
+class _ScanEncoderLayer(nn.Module):
+    """Carry-style wrapper so TransformerEncoderLayer composes with nn.scan."""
+
+    d_model: int
+    nhead: int
+    dim_feedforward: int
+    dropout: float
+    layer_norm_eps: float
+    dtype: jnp.dtype
+    param_dtype: jnp.dtype
+
+    @nn.compact
+    def __call__(self, carry, src_key_padding_mask, deterministic):
+        out = TransformerEncoderLayer(
+            d_model=self.d_model, nhead=self.nhead, dim_feedforward=self.dim_feedforward,
+            dropout=self.dropout, layer_norm_eps=self.layer_norm_eps,
+            dtype=self.dtype, param_dtype=self.param_dtype, name="layer",
+        )(carry, src_key_padding_mask=src_key_padding_mask, deterministic=deterministic)
+        return out, None
+
+
 class TransformerEncoder(nn.Module):
-    """torch.nn.TransformerEncoder parity: N layers + optional final LayerNorm."""
+    """torch.nn.TransformerEncoder parity: N layers + optional final LayerNorm.
+
+    ``scan_layers=True`` runs the stack as a lax.scan over one compiled layer
+    (params stacked on a leading axis) — numerically identical, but the XLA
+    program is ~N times smaller, which matters when compilation is the
+    bottleneck (remote-compile TPU environments, large models).
+    ``remat=True`` additionally rematerializes each layer in the backward
+    pass, trading FLOPs for activation memory.
+    """
 
     d_model: int
     nhead: int
@@ -122,6 +151,8 @@ class TransformerEncoder(nn.Module):
     dropout: float = 0.1
     final_norm: bool = True
     layer_norm_eps: float = 1e-5
+    scan_layers: bool = False
+    remat: bool = False
     dtype: jnp.dtype = jnp.float32
     param_dtype: jnp.dtype = jnp.float32
 
@@ -132,18 +163,29 @@ class TransformerEncoder(nn.Module):
         src_key_padding_mask: jnp.ndarray | None = None,
         deterministic: bool = True,
     ) -> jnp.ndarray:
-        x = src
-        for i in range(self.num_layers):
-            x = TransformerEncoderLayer(
-                d_model=self.d_model,
-                nhead=self.nhead,
-                dim_feedforward=self.dim_feedforward,
-                dropout=self.dropout,
-                layer_norm_eps=self.layer_norm_eps,
-                dtype=self.dtype,
-                param_dtype=self.param_dtype,
-                name=f"layers_{i}",
-            )(x, src_key_padding_mask=src_key_padding_mask, deterministic=deterministic)
+        x = src.astype(self.dtype)  # scan carry type must be stable
+        common = dict(
+            d_model=self.d_model, nhead=self.nhead, dim_feedforward=self.dim_feedforward,
+            dropout=self.dropout, layer_norm_eps=self.layer_norm_eps,
+            dtype=self.dtype, param_dtype=self.param_dtype,
+        )
+        if self.scan_layers:
+            layer_cls = _ScanEncoderLayer
+            if self.remat:
+                layer_cls = nn.remat(layer_cls, static_argnums=(3,))
+            scanned = nn.scan(
+                layer_cls,
+                variable_axes={"params": 0},
+                split_rngs={"params": True, "dropout": True},
+                length=self.num_layers,
+                in_axes=(nn.broadcast, nn.broadcast),
+            )(name="layers_scan", **common)
+            x, _ = scanned(x, src_key_padding_mask, deterministic)
+        else:
+            for i in range(self.num_layers):
+                x = TransformerEncoderLayer(name=f"layers_{i}", **common)(
+                    x, src_key_padding_mask=src_key_padding_mask, deterministic=deterministic
+                )
         if self.final_norm:
             x = nn.LayerNorm(
                 epsilon=self.layer_norm_eps, dtype=self.dtype, param_dtype=self.param_dtype, name="norm"

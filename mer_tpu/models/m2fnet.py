@@ -82,11 +82,12 @@ class M2FNet(nn.Module):
     hidden_size_classifier: int = 768
     output_size_classifier: int = 7
     dropout: float = 0.4
+    scan_layers: bool = False
     dtype: jnp.dtype = jnp.float32
     param_dtype: jnp.dtype = jnp.float32
 
     @classmethod
-    def from_config(cls, model_cfg, dtype=jnp.float32, param_dtype=jnp.float32) -> "M2FNet":
+    def from_config(cls, model_cfg, dtype=jnp.float32, param_dtype=jnp.float32, scan_layers=False) -> "M2FNet":
         """Build from the reference model config block (src/config.yaml model:)."""
         return cls(
             audio_enabled=bool(model_cfg.AUDIO.enabled),
@@ -107,6 +108,7 @@ class M2FNet(nn.Module):
             hidden_size_classifier=int(model_cfg.CLASSIFIER.hidden_size),
             output_size_classifier=int(model_cfg.CLASSIFIER.output_size),
             dropout=float(model_cfg.dropout),
+            scan_layers=scan_layers,
             dtype=dtype,
             param_dtype=param_dtype,
         )
@@ -124,7 +126,7 @@ class M2FNet(nn.Module):
                 TransformerEncoder(
                     d_model=self.d_model_audio, nhead=self.n_head_audio,
                     num_layers=self.n_layers_audio, dropout=self.dropout,
-                    name=f"audio_encoders_{i}", **common,
+                    scan_layers=self.scan_layers, name=f"audio_encoders_{i}", **common,
                 )
                 for i in range(self.n_transformers_audio)
             ]
@@ -135,7 +137,7 @@ class M2FNet(nn.Module):
                 TransformerEncoder(
                     d_model=self.d_model_text, nhead=self.n_head_text,
                     num_layers=self.n_layers_text, dropout=self.dropout,
-                    name=f"text_encoders_{i}", **common,
+                    scan_layers=self.scan_layers, name=f"text_encoders_{i}", **common,
                 )
                 for i in range(self.n_transformers_text)
             ]

@@ -103,11 +103,26 @@ class RobertaLayer(nn.Module):
         return hidden
 
 
+class _ScanRobertaLayer(nn.Module):
+    cfg: RobertaConfig
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, carry, key_padding_mask, deterministic):
+        out = RobertaLayer(self.cfg, dtype=self.dtype, name="layer")(carry, key_padding_mask, deterministic)
+        return out, None
+
+
 class RobertaModel(nn.Module):
-    """Encoder without pooler (the reference disables pooling, text/model.py:16)."""
+    """Encoder without pooler (the reference disables pooling, text/model.py:16).
+
+    ``scan_layers=True`` compiles one layer and lax.scans it over stacked
+    params — same numerics, ~L-times smaller XLA program."""
 
     cfg: RobertaConfig
     dtype: jnp.dtype = jnp.float32
+    scan_layers: bool = False
+    remat: bool = False
 
     @nn.compact
     def __call__(self, input_ids: jnp.ndarray, attention_mask: jnp.ndarray, deterministic: bool = True) -> jnp.ndarray:
@@ -123,10 +138,24 @@ class RobertaModel(nn.Module):
         hidden = nn.Dropout(c.hidden_dropout, deterministic=deterministic)(hidden)
 
         key_padding_mask = attention_mask == 0  # True = ignore (torch convention)
-        for i in range(c.num_hidden_layers):
-            hidden = RobertaLayer(c, dtype=self.dtype, name=f"layer_{i}")(
-                hidden, key_padding_mask, deterministic
-            )
+        hidden = hidden.astype(self.dtype)  # scan carry type must be stable
+        if self.scan_layers:
+            layer_cls = _ScanRobertaLayer
+            if self.remat:
+                layer_cls = nn.remat(layer_cls, static_argnums=(3,))
+            scanned = nn.scan(
+                layer_cls,
+                variable_axes={"params": 0},
+                split_rngs={"params": True, "dropout": True},
+                length=c.num_hidden_layers,
+                in_axes=(nn.broadcast, nn.broadcast),
+            )(c, dtype=self.dtype, name="layers_scan")
+            hidden, _ = scanned(hidden, key_padding_mask, deterministic)
+        else:
+            for i in range(c.num_hidden_layers):
+                hidden = RobertaLayer(c, dtype=self.dtype, name=f"layer_{i}")(
+                    hidden, key_padding_mask, deterministic
+                )
         return hidden  # last_hidden_state
 
 
@@ -156,9 +185,10 @@ class TextERC(nn.Module):
 
     cfg: RobertaConfig
     dtype: jnp.dtype = jnp.float32
+    scan_layers: bool = False
 
     def setup(self):
-        self.roberta = RobertaModel(self.cfg, dtype=self.dtype)
+        self.roberta = RobertaModel(self.cfg, dtype=self.dtype, scan_layers=self.scan_layers)
         self.classifier_head = RobertaClassificationHead(self.cfg, dtype=self.dtype)
 
     def __call__(self, input_ids, attention_mask, deterministic: bool = True):
@@ -179,11 +209,13 @@ def _np(t) -> np.ndarray:
     return t.detach().cpu().numpy().astype(np.float32)
 
 
-def convert_hf_roberta(sd: dict, cfg: RobertaConfig, prefix: str = "") -> dict:
+def convert_hf_roberta(sd: dict, cfg: RobertaConfig, prefix: str = "", scan_layers: bool = False) -> dict:
     """Convert an HF torch RobertaModel state_dict to RobertaModel params.
 
     ``prefix`` handles nesting (e.g. 'roberta.' inside a TextERC checkpoint,
     cf. the reference's extract_roberta_state_dict, text/embeddings.py:14-22).
+    ``scan_layers`` stacks per-layer params on a leading axis for the
+    nn.scan-based encoder.
     """
     g = lambda k: _np(sd[prefix + k])
     lin = lambda k: {"kernel": g(f"{k}.weight").T, "bias": g(f"{k}.bias")}
@@ -195,20 +227,30 @@ def convert_hf_roberta(sd: dict, cfg: RobertaConfig, prefix: str = "") -> dict:
         "token_type_embeddings": {"embedding": g("embeddings.token_type_embeddings.weight")},
         "embeddings_layernorm": lnp("embeddings.LayerNorm"),
     }
+    per_layer = []
     for i in range(cfg.num_hidden_layers):
         p = f"encoder.layer.{i}."
-        params[f"layer_{i}"] = {
-            "attention": {
-                "query": lin(p + "attention.self.query"),
-                "key": lin(p + "attention.self.key"),
-                "value": lin(p + "attention.self.value"),
-            },
-            "attention_output": lin(p + "attention.output.dense"),
-            "attention_layernorm": lnp(p + "attention.output.LayerNorm"),
-            "intermediate": lin(p + "intermediate.dense"),
-            "output": lin(p + "output.dense"),
-            "output_layernorm": lnp(p + "output.LayerNorm"),
-        }
+        per_layer.append(
+            {
+                "attention": {
+                    "query": lin(p + "attention.self.query"),
+                    "key": lin(p + "attention.self.key"),
+                    "value": lin(p + "attention.self.value"),
+                },
+                "attention_output": lin(p + "attention.output.dense"),
+                "attention_layernorm": lnp(p + "attention.output.LayerNorm"),
+                "intermediate": lin(p + "intermediate.dense"),
+                "output": lin(p + "output.dense"),
+                "output_layernorm": lnp(p + "output.LayerNorm"),
+            }
+        )
+    if scan_layers:
+        from mer_tpu.models.torch_import import stack_layers
+
+        params["layers_scan"] = {"layer": stack_layers(per_layer)}
+    else:
+        for i, lp in enumerate(per_layer):
+            params[f"layer_{i}"] = lp
     return params
 
 

@@ -44,6 +44,14 @@ def _np(t: Any) -> np.ndarray:
     return t.detach().cpu().numpy().astype(np.float32)
 
 
+def stack_layers(per_layer: list[dict]) -> dict:
+    """Stack identical per-layer param trees on a new leading axis — the
+    parameter layout of nn.scan-based encoders (layers_scan/layer/...)."""
+    import jax
+
+    return jax.tree.map(lambda *leaves: np.stack(leaves, axis=0), *per_layer)
+
+
 def convert_linear(sd: Mapping[str, Any], prefix: str) -> dict:
     return {
         "kernel": _np(sd[f"{prefix}weight"]).T,
@@ -80,10 +88,15 @@ def convert_encoder_layer(sd: Mapping[str, Any], prefix: str, embed_dim: int) ->
     }
 
 
-def convert_encoder(sd: Mapping[str, Any], prefix: str, embed_dim: int, num_layers: int, final_norm: bool = True) -> dict:
+def convert_encoder(sd: Mapping[str, Any], prefix: str, embed_dim: int, num_layers: int,
+                    final_norm: bool = True, scan_layers: bool = False) -> dict:
     out: dict = {}
-    for i in range(num_layers):
-        out[f"layers_{i}"] = convert_encoder_layer(sd, f"{prefix}layers.{i}.", embed_dim)
+    per_layer = [convert_encoder_layer(sd, f"{prefix}layers.{i}.", embed_dim) for i in range(num_layers)]
+    if scan_layers:
+        out["layers_scan"] = {"layer": stack_layers(per_layer)}
+    else:
+        for i, lp in enumerate(per_layer):
+            out[f"layers_{i}"] = lp
     if final_norm:
         out["norm"] = convert_layernorm(sd, f"{prefix}norm.")
     return out
@@ -98,14 +111,16 @@ def convert_m2fnet_state_dict(sd: Mapping[str, Any], model) -> dict:
     if model.audio_enabled:
         for i in range(model.n_transformers_audio):
             params[f"audio_encoders_{i}"] = convert_encoder(
-                sd, f"audio_encoders.{i}.", model.d_model_audio, model.n_layers_audio
+                sd, f"audio_encoders.{i}.", model.d_model_audio, model.n_layers_audio,
+                scan_layers=model.scan_layers,
             )
         params["audio_proj"] = convert_linear(sd, "audio_proj.")
 
     if model.text_enabled:
         for i in range(model.n_transformers_text):
             params[f"text_encoders_{i}"] = convert_encoder(
-                sd, f"text_encoders.{i}.", model.d_model_text, model.n_layers_text
+                sd, f"text_encoders.{i}.", model.d_model_text, model.n_layers_text,
+                scan_layers=model.scan_layers,
             )
         params["text_proj"] = convert_linear(sd, "text_proj.")
 

@@ -128,11 +128,25 @@ class Wav2Vec2EncoderLayer(nn.Module):
         return hidden
 
 
+class _ScanW2VLayer(nn.Module):
+    cfg: Wav2Vec2Config
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, carry, key_padding_mask, deterministic):
+        out = Wav2Vec2EncoderLayer(self.cfg, dtype=self.dtype, name="layer")(carry, key_padding_mask, deterministic)
+        return out, None
+
+
 class Wav2Vec2Model(nn.Module):
-    """Waveforms + lengths -> frame features [B, T, H] and frame lengths."""
+    """Waveforms + lengths -> frame features [B, T, H] and frame lengths.
+
+    ``scan_layers=True``: lax.scan over one compiled encoder layer."""
 
     cfg: Wav2Vec2Config
     dtype: jnp.dtype = jnp.float32
+    scan_layers: bool = False
+    remat: bool = False
 
     @nn.compact
     def __call__(self, waveforms: jnp.ndarray, lengths: jnp.ndarray, deterministic: bool = True):
@@ -154,10 +168,24 @@ class Wav2Vec2Model(nn.Module):
         x = nn.Dropout(c.hidden_dropout, deterministic=deterministic)(x)
 
         key_padding_mask = ~frame_valid
-        for i in range(c.num_hidden_layers):
-            x = Wav2Vec2EncoderLayer(c, dtype=self.dtype, name=f"layer_{i}")(
-                x, key_padding_mask, deterministic
-            )
+        x = x.astype(self.dtype)  # scan carry type must be stable
+        if self.scan_layers:
+            layer_cls = _ScanW2VLayer
+            if self.remat:
+                layer_cls = nn.remat(layer_cls, static_argnums=(3,))
+            scanned = nn.scan(
+                layer_cls,
+                variable_axes={"params": 0},
+                split_rngs={"params": True, "dropout": True},
+                length=c.num_hidden_layers,
+                in_axes=(nn.broadcast, nn.broadcast),
+            )(c, dtype=self.dtype, name="layers_scan")
+            x, _ = scanned(x, key_padding_mask, deterministic)
+        else:
+            for i in range(c.num_hidden_layers):
+                x = Wav2Vec2EncoderLayer(c, dtype=self.dtype, name=f"layer_{i}")(
+                    x, key_padding_mask, deterministic
+                )
         return x, out_lengths
 
 
@@ -167,9 +195,10 @@ class AudioERC(nn.Module):
 
     cfg: Wav2Vec2Config
     dtype: jnp.dtype = jnp.float32
+    scan_layers: bool = False
 
     def setup(self):
-        self.wav2vec2 = Wav2Vec2Model(self.cfg, dtype=self.dtype)
+        self.wav2vec2 = Wav2Vec2Model(self.cfg, dtype=self.dtype, scan_layers=self.scan_layers)
         self.head_dense = nn.Dense(self.cfg.hidden_size, dtype=self.dtype)
         self.head_out = nn.Dense(self.cfg.num_labels, dtype=self.dtype)
 
@@ -200,7 +229,7 @@ def _np(t) -> np.ndarray:
     return t.detach().cpu().numpy().astype(np.float32)
 
 
-def convert_hf_wav2vec2(sd: dict, cfg: Wav2Vec2Config, prefix: str = "") -> dict:
+def convert_hf_wav2vec2(sd: dict, cfg: Wav2Vec2Config, prefix: str = "", scan_layers: bool = False) -> dict:
     """Convert an HF torch Wav2Vec2Model state_dict to Wav2Vec2Model params.
 
     torch Conv1d weight [out, in/groups, k] -> flax [k, in/groups, out];
@@ -242,16 +271,26 @@ def convert_hf_wav2vec2(sd: dict, cfg: Wav2Vec2Config, prefix: str = "") -> dict
     }
 
     params["encoder_layer_norm"] = lnp("encoder.layer_norm")
+    per_layer = []
     for i in range(cfg.num_hidden_layers):
         p = f"encoder.layers.{i}."
-        params[f"layer_{i}"] = {
-            "q_proj": lin(p + "attention.q_proj"),
-            "k_proj": lin(p + "attention.k_proj"),
-            "v_proj": lin(p + "attention.v_proj"),
-            "out_proj": lin(p + "attention.out_proj"),
-            "layer_norm": lnp(p + "layer_norm"),
-            "intermediate": lin(p + "feed_forward.intermediate_dense"),
-            "output": lin(p + "feed_forward.output_dense"),
-            "final_layer_norm": lnp(p + "final_layer_norm"),
-        }
+        per_layer.append(
+            {
+                "q_proj": lin(p + "attention.q_proj"),
+                "k_proj": lin(p + "attention.k_proj"),
+                "v_proj": lin(p + "attention.v_proj"),
+                "out_proj": lin(p + "attention.out_proj"),
+                "layer_norm": lnp(p + "layer_norm"),
+                "intermediate": lin(p + "feed_forward.intermediate_dense"),
+                "output": lin(p + "feed_forward.output_dense"),
+                "final_layer_norm": lnp(p + "final_layer_norm"),
+            }
+        )
+    if scan_layers:
+        from mer_tpu.models.torch_import import stack_layers
+
+        params["layers_scan"] = {"layer": stack_layers(per_layer)}
+    else:
+        for i, lp in enumerate(per_layer):
+            params[f"layer_{i}"] = lp
     return params

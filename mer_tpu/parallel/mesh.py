@@ -83,12 +83,20 @@ def replicated(mesh: Mesh) -> NamedSharding:
 # ---------------------------------------------------------------------------
 
 _TP_RULES: list[tuple[str, P]] = [
-    (r".*(q_proj|k_proj|v_proj)/kernel$", P(None, "tp")),
-    (r".*(q_proj|k_proj|v_proj)/bias$", P("tp")),
-    (r".*out_proj/kernel$", P("tp", None)),
-    (r".*linear1/kernel$", P(None, "tp")),
-    (r".*linear1/bias$", P("tp")),
-    (r".*linear2/kernel$", P("tp", None)),
+    # nn.scan-stacked encoder layers carry a leading layer axis (replicated)
+    (r".*layers_scan/.*(q_proj|k_proj|v_proj|query|key|value)/kernel$", P(None, None, "tp")),
+    (r".*layers_scan/.*(q_proj|k_proj|v_proj|query|key|value)/bias$", P(None, "tp")),
+    (r".*layers_scan/.*(out_proj|attention_output)/kernel$", P(None, "tp", None)),
+    (r".*layers_scan/.*(linear1|intermediate)/kernel$", P(None, None, "tp")),
+    (r".*layers_scan/.*(linear1|intermediate)/bias$", P(None, "tp")),
+    (r".*layers_scan/.*(linear2|output)/kernel$", P(None, "tp", None)),
+    # unscanned layers
+    (r".*(q_proj|k_proj|v_proj|query|key|value)/kernel$", P(None, "tp")),
+    (r".*(q_proj|k_proj|v_proj|query|key|value)/bias$", P("tp")),
+    (r".*(out_proj|attention_output)/kernel$", P("tp", None)),
+    (r".*(linear1|intermediate)/kernel$", P(None, "tp")),
+    (r".*(linear1|intermediate)/bias$", P("tp")),
+    (r".*(linear2|output)/kernel$", P("tp", None)),
 ]
 
 

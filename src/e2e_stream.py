@@ -64,10 +64,13 @@ def main(argv=None):
     df = map_emotions(get_text(args.mode, data_root=args.data_root))
     print(f"Loaded {len(text_ds)} utterances for {args.mode}")
 
+    # scan_layers: one compiled layer per encoder instead of L inlined copies
+    # — mandatory on remote-compile TPU setups (program size limits) and much
+    # faster to compile everywhere.
     dtype = jnp.bfloat16
-    text_model = TextERC(RobertaConfig.base(), dtype=dtype)
-    audio_model = AudioERC(Wav2Vec2Config.base(), dtype=dtype)
-    fusion_model = M2FNet.from_config(fusion_cfg.model, dtype=dtype)
+    text_model = TextERC(RobertaConfig.base(), dtype=dtype, scan_layers=True)
+    audio_model = AudioERC(Wav2Vec2Config.base(), dtype=dtype, scan_layers=True)
+    fusion_model = M2FNet.from_config(fusion_cfg.model, dtype=dtype, scan_layers=True)
 
     rng = jax.random.PRNGKey(0)
     ids = jnp.zeros((2, 16), jnp.int32)

@@ -40,7 +40,7 @@ def load_text_model_and_tokenizer(args, variant: str = "roberta-base"):
     from mer_tpu.models.roberta import RobertaConfig, TextERC, convert_hf_roberta
 
     cfg = RobertaConfig.large() if "large" in variant else RobertaConfig.base()
-    model = TextERC(cfg)
+    model = TextERC(cfg, scan_layers=True)
 
     tokenizer = (
         ToyWhitespaceTokenizer(vocab_size=cfg.vocab_size)
@@ -53,7 +53,7 @@ def load_text_model_and_tokenizer(args, variant: str = "roberta-base"):
         import transformers
 
         hf = transformers.RobertaModel.from_pretrained(args.pretrained or variant, add_pooling_layer=False)
-        pretrained_params = convert_hf_roberta(hf.state_dict(), cfg)
+        pretrained_params = convert_hf_roberta(hf.state_dict(), cfg, scan_layers=True)
     return model, tokenizer, pretrained_params
 
 
@@ -61,13 +61,13 @@ def load_wav2vec2_model(args, variant: str = "facebook/wav2vec2-base"):
     from mer_tpu.models.wav2vec2 import AudioERC, Wav2Vec2Config, convert_hf_wav2vec2
 
     cfg = Wav2Vec2Config.base()
-    model = AudioERC(cfg)
+    model = AudioERC(cfg, scan_layers=True)
     pretrained_params = None
     if not args.random_init:
         import transformers
 
         hf = transformers.Wav2Vec2Model.from_pretrained(args.pretrained or variant)
-        pretrained_params = convert_hf_wav2vec2(hf.state_dict(), cfg)
+        pretrained_params = convert_hf_wav2vec2(hf.state_dict(), cfg, scan_layers=True)
     return model, pretrained_params
 
 

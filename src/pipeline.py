@@ -63,7 +63,9 @@ def build(args, modes: tuple[str, ...]):
     }
 
     dtype = jnp.bfloat16 if config.get_path("tpu.compute_dtype", "bfloat16") == "bfloat16" else jnp.float32
-    model = M2FNet.from_config(config.model, dtype=dtype)
+    model = M2FNet.from_config(
+        config.model, dtype=dtype, scan_layers=bool(config.get_path("tpu.scan_layers", True))
+    )
 
     class_weights = None
     if bool(config.solver.balance_classes) and "train" in datasets:
