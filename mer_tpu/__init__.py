@@ -24,3 +24,8 @@ step is a single jitted program per (bucketed) shape.
 """
 
 __version__ = "0.1.0"
+
+from mer_tpu.utils.cache import enable_compilation_cache as _enable_cache
+
+_enable_cache()
+del _enable_cache

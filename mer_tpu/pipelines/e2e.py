@@ -50,21 +50,27 @@ class StreamingPipeline:
         self.dialogue_batch = dialogue_batch
         self.buckets = buckets
 
-        self._text_embed = jax.jit(
-            lambda ids, mask: self.m.text_model.apply(
-                {"params": self.m.text_params}, ids, mask, method=TextERC.embed
+        # params must be jit *arguments*, not closure constants — closed-over
+        # arrays are baked into the HLO as literals, which blows program-size
+        # limits on remote-compile setups (125M-param RoBERTa -> HTTP 413).
+        self._text_embed_fn = jax.jit(
+            lambda params, ids, mask: self.m.text_model.apply(
+                {"params": params}, ids, mask, method=TextERC.embed
             )
         )
-        self._audio_embed = jax.jit(
-            lambda audio, lengths: self.m.audio_model.apply(
-                {"params": self.m.audio_params}, audio, lengths, method=AudioERC.embed
+        self._audio_embed_fn = jax.jit(
+            lambda params, audio, lengths: self.m.audio_model.apply(
+                {"params": params}, audio, lengths, method=AudioERC.embed
             )
         )
-        self._fusion = jax.jit(
-            lambda text, audio, mask: jnp.argmax(
-                self.m.fusion_model.apply({"params": self.m.fusion_params}, text, audio, mask), axis=-1
+        self._fusion_fn = jax.jit(
+            lambda params, text, audio, mask: jnp.argmax(
+                self.m.fusion_model.apply({"params": params}, text, audio, mask), axis=-1
             )
         )
+        self._text_embed = lambda ids, mask: self._text_embed_fn(self.m.text_params, ids, mask)
+        self._audio_embed = lambda audio, lengths: self._audio_embed_fn(self.m.audio_params, audio, lengths)
+        self._fusion = lambda text, audio, mask: self._fusion_fn(self.m.fusion_params, text, audio, mask)
 
     # -- stage 1: utterance embeddings ---------------------------------------
 
