@@ -36,8 +36,15 @@ class FusionDataset:
 
         text_dir = config.embeddings.text
         audio_dir = config.embeddings.audio
-        self.text_embeddings = load_embeddings(embeddings_path(text_dir, mode))
-        self.audio_embeddings = load_embeddings(embeddings_path(audio_dir, mode))
+        try:
+            self.text_embeddings = load_embeddings(embeddings_path(text_dir, mode))
+            self.audio_embeddings = load_embeddings(embeddings_path(audio_dir, mode))
+        except FileNotFoundError as e:
+            raise FileNotFoundError(
+                f"{e}\nStage-2 fusion consumes stage-1 embedding artifacts. Run the "
+                "feature-extractor exporters first (src/feature_extractors/*/embeddings.py), "
+                "or use --synthetic for a corpus-free smoke run."
+            ) from e
 
         df = map_emotions(get_text(mode, data_root=data_root))
         if len(df) != len(self.text_embeddings) or len(df) != len(self.audio_embeddings):

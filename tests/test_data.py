@@ -121,3 +121,58 @@ class TestPrefetch:
         batcher = FusionBatcher(ds, batch_size=8, shuffle=False)
         for batch in prefetch(batcher, sharding=sharding):
             assert batch["text"].sharding.is_equivalent_to(sharding, batch["text"].ndim)
+
+
+class TestFusionDatasetArtifacts:
+    """Stage-1 -> stage-2 contract: FusionDataset loads exported pickles and
+    aligns rows to the MELD table (reference src/dataset.py:14-65)."""
+
+    def test_load_and_align(self, meld_like_root, tmp_path):
+        from mer_tpu.core import Config, get_text, save_embeddings
+        from mer_tpu.data import FusionDataset
+
+        root, sizes = meld_like_root
+        n = sizes["val"]
+        rng = np.random.default_rng(0)
+        # row i of each table encodes i so alignment is checkable
+        text_emb = np.tile(np.arange(n, dtype=np.float32)[:, None], (1, 8))
+        audio_emb = np.tile(np.arange(n, dtype=np.float32)[:, None], (1, 6)) + 0.5
+        save_embeddings(tmp_path / "text" / "val.pkl", text_emb)
+        save_embeddings(tmp_path / "audio" / "val.pkl", audio_emb)
+
+        config = Config({"embeddings": {"text": str(tmp_path / "text"), "audio": str(tmp_path / "audio")}})
+        ds = FusionDataset("val", config, data_root=root)
+
+        df = get_text("val", data_root=root)
+        total_utts = sum(d["emotion"].shape[0] for d in ds._dialogues)
+        assert total_utts == n
+        for d in ds._dialogues:
+            rows = df.index[df["Dialogue_ID"] == d["dialogue_id"]].to_numpy()
+            # utterances sorted by Utterance_ID within dialogue
+            expected = df.loc[rows].sort_values("Utterance_ID").index.to_numpy()
+            np.testing.assert_array_equal(d["text"][:, 0], expected.astype(np.float32))
+            np.testing.assert_array_equal(d["audio"][:, 0], expected.astype(np.float32) + 0.5)
+
+    def test_row_count_mismatch_raises(self, meld_like_root, tmp_path):
+        import pytest
+
+        from mer_tpu.core import Config, save_embeddings
+        from mer_tpu.data import FusionDataset
+
+        root, sizes = meld_like_root
+        save_embeddings(tmp_path / "t" / "val.pkl", np.zeros((sizes["val"] + 1, 4), np.float32))
+        save_embeddings(tmp_path / "a" / "val.pkl", np.zeros((sizes["val"], 4), np.float32))
+        config = Config({"embeddings": {"text": str(tmp_path / "t"), "audio": str(tmp_path / "a")}})
+        with pytest.raises(ValueError, match="mismatch"):
+            FusionDataset("val", config, data_root=root)
+
+    def test_missing_artifact_error_is_actionable(self, meld_like_root, tmp_path):
+        import pytest
+
+        from mer_tpu.core import Config
+        from mer_tpu.data import FusionDataset
+
+        root, _ = meld_like_root
+        config = Config({"embeddings": {"text": str(tmp_path / "nope"), "audio": str(tmp_path / "nope")}})
+        with pytest.raises(FileNotFoundError, match="feature-extractor exporters"):
+            FusionDataset("val", config, data_root=root)

@@ -211,3 +211,63 @@ class TestMelPipeline:
         emb = solver.export_embeddings(val_ds, state.params, batch_size=4)
         assert emb.shape == (len(val_ds), 16)
         np.testing.assert_allclose(np.linalg.norm(emb, axis=1), 1.0, rtol=1e-4)
+
+
+class TestStageChaining:
+    """Full pipeline contract: stage-1 training + export feeds stage-2 fusion
+    through the on-disk artifact layout (reference C24->C25->C27->C29)."""
+
+    def test_mel_export_feeds_fusion_training(self, meld_like_root_with_wavs, tmp_path):
+        root, _ = meld_like_root_with_wavs
+        cfg = _mel_config(tmp_path, root, epochs=1)
+        cfg = cfg.override(DEBUG__num_samples=10_000)  # use all synthetic rows
+
+        # stage 1c: train briefly and export embeddings for every split
+        model = AudioMelFeatureExtractor(embedding_size=16)
+        solver = MelSolver(
+            model, cfg,
+            MelFeatureDataset("train", cfg, data_root=root),
+            MelFeatureDataset("val", cfg, data_root=root),
+        )
+        state, _ = solver.fit()
+
+        from mer_tpu.core import save_embeddings
+
+        emb_dir = tmp_path / "embeddings" / "audio_mel"
+        for mode in ["train", "val"]:
+            ds = MelFeatureDataset(mode, cfg, data_root=root)
+            table = solver.export_embeddings(ds, state.params, batch_size=4)
+            save_embeddings(emb_dir / f"{mode}.pkl", table)
+
+        # stage 2: fusion consumes the artifacts (same table on both modality
+        # slots; model dims follow the artifact dim)
+        from mer_tpu.data import FusionBatcher, FusionDataset
+        from mer_tpu.models import M2FNet
+        from mer_tpu.train import Solver
+
+        fusion_cfg = Config(
+            {
+                "embeddings": {"text": str(emb_dir), "audio": str(emb_dir)},
+                "checkpoint": {"save_path": str(tmp_path / "fusion.ckpt"), "save_checkpoint": False},
+                "solver": {
+                    "lr": 1e-3, "weight_decay": 0.0, "epochs": 1,
+                    "scheduler": {"enabled": False},
+                    "early_stopping": {"enabled": False},
+                },
+                "wandb": {"enabled": False},
+                "tpu": {"seed": 0},
+            }
+        )
+        fusion_model = M2FNet(
+            d_model_audio=16, d_model_text=16, d_model_fam=16,
+            n_head_audio=2, n_head_text=2, n_head_fam=2,
+            n_layers_audio=1, n_layers_text=1, n_layers_fam=1,
+            hidden_size_classifier=16,
+        )
+        train_b = FusionBatcher(FusionDataset("train", fusion_cfg, data_root=root), 4, shuffle=True)
+        val_b = FusionBatcher(FusionDataset("val", fusion_cfg, data_root=root), 4)
+        fusion_solver = Solver(fusion_model, fusion_cfg)
+        fstate, history = fusion_solver.fit(train_b, val_b)
+        assert np.isfinite(history["loss_values"][0])
+        result = fusion_solver.test(val_b, fstate.params)
+        assert 0.0 <= result["weighted_f1"] <= 1.0
