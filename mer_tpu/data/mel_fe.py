@@ -77,11 +77,31 @@ class MelFeatureDataset:
         return self.labels
 
     def waveform_batch(self, indices: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
-        """Fixed-size [n, max_samples] buffer + true lengths."""
+        """Fixed-size [n, max_samples] buffer + true lengths.
+
+        Uses the native thread-pooled batch decoder (native/wavio.cc) when
+        built; falls back to the stdlib per-file reader."""
+        from mer_tpu.data import native_wavio
+
+        indices = np.asarray(indices)
+        if native_wavio.available():
+            paths = [self.store.path_for(*self.dia_utt[int(i)]) for i in indices]
+            out, lengths = native_wavio.decode_wav_batch(
+                paths, self.mel_cfg.max_samples, expect_rate=self.mel_cfg.sample_rate
+            )
+            bad = np.flatnonzero(lengths < 0)
+            for i in bad:  # rare: fall back per file (resample path, odd formats)
+                dia, utt = self.dia_utt[int(indices[i])]
+                w = self.store.get(dia, utt)
+                out[i, : len(w)] = w
+                out[i, len(w):] = 0.0
+                lengths[i] = len(w)
+            return out, lengths.astype(np.int32)
+
         n = len(indices)
         out = np.zeros((n, self.mel_cfg.max_samples), dtype=np.float32)
         lengths = np.zeros((n,), dtype=np.int32)
-        for i, idx in enumerate(np.asarray(indices)):
+        for i, idx in enumerate(indices):
             dia, utt = self.dia_utt[int(idx)]
             w = self.store.get(dia, utt)
             out[i, : len(w)] = w

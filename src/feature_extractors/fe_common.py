@@ -29,16 +29,25 @@ def parse_args(argv=None, default_config: str | None = None):
                    help="text pipeline: hash tokenizer instead of HF RoBERTa vocab")
     p.add_argument("--pretrained", default=None,
                    help="HF model name or local path for the backbone weights")
+    p.add_argument("--variant", default=None,
+                   help="text pipeline: roberta-base (default) or roberta-large")
     return p.parse_args(argv)
 
 
-def load_text_model_and_tokenizer(args, variant: str = "roberta-base"):
-    """TextERC + tokenizer; imports HF weights unless --random-init."""
-    import jax
+def load_text_model_and_tokenizer(args, variant: str | None = None, config=None):
+    """TextERC + tokenizer; imports HF weights unless --random-init.
 
+    Variant resolution order: --variant flag, config test.pretrained_model
+    (the reference's knob, text/config.yaml), default roberta-base."""
     from mer_tpu.data.text_fe import ToyWhitespaceTokenizer, load_roberta_tokenizer
     from mer_tpu.models.roberta import RobertaConfig, TextERC, convert_hf_roberta
 
+    variant = (
+        getattr(args, "variant", None)
+        or variant
+        or (config.get_path("test.pretrained_model") if config is not None else None)
+        or "roberta-base"
+    )
     cfg = RobertaConfig.large() if "large" in variant else RobertaConfig.base()
     model = TextERC(cfg, scan_layers=True)
 

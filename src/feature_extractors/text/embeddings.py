@@ -26,7 +26,7 @@ def main(argv=None, save_dir: str = "embeddings/text"):
     args = parse_args(argv, default_config=CONFIG)
     config = load_config(args.config)
 
-    model, tokenizer, pretrained = load_text_model_and_tokenizer(args)
+    model, tokenizer, pretrained = load_text_model_and_tokenizer(args, config=config)
 
     # init then load the fine-tuned checkpoint's roberta subtree
     ds0 = TextFeatureDataset("val", tokenizer, data_root=args.data_root)

@@ -20,7 +20,7 @@ def main(argv=None):
     args = parse_args(argv, default_config=CONFIG)
     config = load_config(args.config)
 
-    model, tokenizer, _ = load_text_model_and_tokenizer(args)
+    model, tokenizer, _ = load_text_model_and_tokenizer(args, config=config)
 
     data_test = TextFeatureDataset("test", tokenizer, data_root=args.data_root)
     print(f"Loaded {len(data_test)} utterances for testing")

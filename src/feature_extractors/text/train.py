@@ -22,7 +22,7 @@ def main(argv=None):
     if args.epochs is not None:
         config = config.override(solver__epochs=args.epochs)
 
-    model, tokenizer, pretrained = load_text_model_and_tokenizer(args)
+    model, tokenizer, pretrained = load_text_model_and_tokenizer(args, config=config)
 
     data_train = TextFeatureDataset("train", tokenizer, data_root=args.data_root)
     data_val = TextFeatureDataset("val", tokenizer, data_root=args.data_root)
