@@ -58,11 +58,13 @@ class StreamingPipeline:
                 {"params": params}, ids, mask, method=TextERC.embed
             )
         )
-        self._audio_embed_fn = jax.jit(
-            lambda params, audio, lengths: self.m.audio_model.apply(
-                {"params": params}, audio, lengths, method=AudioERC.embed
-            )
-        )
+        # audio travels host->device as int16 (PCM's native width): half the
+        # transfer bytes; normalization to [-1, 1] float happens on device.
+        def _audio_embed(params, audio_i16, lengths):
+            audio = audio_i16.astype(jnp.float32) / 32768.0
+            return self.m.audio_model.apply({"params": params}, audio, lengths, method=AudioERC.embed)
+
+        self._audio_embed_fn = jax.jit(_audio_embed)
         self._fusion_fn = jax.jit(
             lambda params, text, audio, mask: jnp.argmax(
                 self.m.fusion_model.apply({"params": params}, text, audio, mask), axis=-1
@@ -77,19 +79,34 @@ class StreamingPipeline:
     def embed_utterances(self, batches) -> tuple[np.ndarray, np.ndarray]:
         """Consume mixed host batches with both modalities:
         {"text", "attention_mask", "audio", "lengths", "idx", "emotion"}.
-        Returns ([N, Dt], [N, Da]) embedding tables."""
+        Returns ([N, Dt], [N, Da]) embedding tables.
+
+        Transfers are double-buffered (DevicePrefetcher) and results are
+        fetched only after every batch is dispatched, so host->device copies
+        overlap device compute."""
+        from mer_tpu.data.prefetch import prefetch
+
+        device_keys = ("text", "attention_mask", "audio", "lengths")
+        host = []
+
+        def _device_batches():
+            for b in batches:
+                host.append((b["idx"], b["emotion"]))
+                yield {k: b[k] for k in device_keys}
+
         text_rows, audio_rows, idx_rows = [], [], []
         pending = []
-        for b in batches:
-            te = self._text_embed(jnp.asarray(b["text"]), jnp.asarray(b["attention_mask"]))
-            ae = self._audio_embed(jnp.asarray(b["audio"]), jnp.asarray(b["lengths"]))
-            valid = b["emotion"] != -1
-            pending.append((b["idx"][valid], te, ae, valid))
+        for i, b in enumerate(prefetch(_device_batches(), buffer_size=4)):
+            te = self._text_embed(b["text"], b["attention_mask"])
+            ae = self._audio_embed(b["audio"], b["lengths"])
+            pending.append((i, te, ae))
         # fetch after all dispatches (keeps the device queue full)
-        for idx, te, ae, valid in pending:
+        for i, te, ae in pending:
+            idx, emotion = host[i]
+            valid = emotion != -1
             text_rows.append(np.asarray(te)[valid])
             audio_rows.append(np.asarray(ae)[valid])
-            idx_rows.append(idx)
+            idx_rows.append(idx[valid])
         idx = np.concatenate(idx_rows)
         order = np.argsort(idx)
         return (
@@ -176,11 +193,12 @@ def mixed_utterance_batches(text_ds, w2v_ds, batch_size: int = 16,
 
         waves = [w2v_ds.waveform(j) for j in full]
         wwidth = bucket(max(len(w) for w in waves), sample_buckets)
-        audio = np.zeros((batch_size, wwidth), np.float32)
+        # int16 on the wire (see StreamingPipeline): half the H2D bytes
+        audio = np.zeros((batch_size, wwidth), np.int16)
         lengths = np.zeros((batch_size,), np.int32)
         for k, w in enumerate(waves):
             w = w[:wwidth]
-            audio[k, : len(w)] = w
+            audio[k, : len(w)] = np.clip(w * 32768.0, -32768, 32767).astype(np.int16)
             lengths[k] = len(w)
 
         emotion = text_ds.labels[full].astype(np.int32).copy()
