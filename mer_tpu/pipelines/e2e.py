@@ -45,7 +45,14 @@ class StreamingPipeline:
 
     def __init__(self, models: E2EModels, utterance_batch: int = 32, dialogue_batch: int = 32,
                  buckets=DEFAULT_LENGTH_BUCKETS):
-        self.m = models
+        # commit params to device once — checkpoint-restored trees arrive as
+        # host numpy, and numpy jit arguments re-transfer on EVERY call
+        # (~2 GB/batch for the full model set on this workload)
+        self.m = E2EModels(
+            models.text_model, jax.device_put(models.text_params),
+            models.audio_model, jax.device_put(models.audio_params),
+            models.fusion_model, jax.device_put(models.fusion_params),
+        )
         self.utterance_batch = utterance_batch
         self.dialogue_batch = dialogue_batch
         self.buckets = buckets

@@ -179,6 +179,7 @@ class FESolver:
         return state, total / max(batches, 1)
 
     def evaluate(self, params, batcher) -> tuple[float, BatchAveragedMetrics]:
+        params = jax.device_put(params)  # avoid per-call transfer of numpy trees
         metrics = BatchAveragedMetrics()
         total, batches = 0.0, 0
         for batch in prefetch(batcher):

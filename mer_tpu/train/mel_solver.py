@@ -125,6 +125,7 @@ class MelSolver:
         return state, total / max(n_steps, 1)
 
     def validate(self, params) -> float:
+        params = jax.device_put(params)  # avoid per-call transfer of numpy trees
         n_steps = max(len(self.data_val) // self.val_batch_size, 1)
         miner = self._miner(self.data_val, params)
         total = 0.0
@@ -223,6 +224,7 @@ class MelSolver:
     def export_embeddings(self, dataset, params, batch_size: int = 32) -> np.ndarray:
         """[N, 300] embeddings row-indexed by dataframe order
         (reference audio_mel/embeddings.py:61-80)."""
+        params = jax.device_put(params)  # avoid per-call transfer of numpy trees
         n = len(dataset)
         out = np.zeros((n, self.model.embedding_size), dtype=np.float32)
         for i in range(0, n, batch_size):

@@ -218,6 +218,9 @@ class Solver:
     def evaluate(self, params, batcher) -> tuple[float, BatchAveragedMetrics]:
         if self._eval_step is None:
             self._build_steps()
+        # commit once: numpy param trees (checkpoint restores) would otherwise
+        # re-transfer host->device on every jitted call
+        params = jax.device_put(params)
         metrics = BatchAveragedMetrics()
         total, batches = 0.0, 0
         for batch in prefetch(batcher, sharding=self.data_sharding):

@@ -47,6 +47,7 @@ def main(argv=None, save_dir: str = "embeddings/audio_wav2vec2"):
     else:
         raise ValueError("Checkpoint not found")
 
+    params = jax.device_put(params)  # avoid per-call transfer of numpy trees
     embed = jax.jit(
         lambda p, audio, lengths: model.apply({"params": p}, audio, lengths, method=AudioERC.embed)
     )

@@ -49,6 +49,7 @@ def main(argv=None, save_dir: str = "embeddings/text"):
     else:
         raise ValueError("Checkpoint not found")
 
+    params = jax.device_put(params)  # avoid per-call transfer of numpy trees
     embed = jax.jit(
         lambda p, ids, mask: model.apply({"params": p}, ids, mask, method=TextERC.embed)
     )
