@@ -58,6 +58,10 @@ def build(args, modes: tuple[str, ...]):
             shuffle=bool(config[mode].data_loader.shuffle),
             buckets=buckets,
             seed=int(config.get_path("tpu.seed", 0)),
+            # length-sorting reduces padding but changes batch composition;
+            # eval keeps the reference's dataset order so the batch-averaged
+            # metrics partition identically (SURVEY.md §7.3 #5)
+            sort_by_length=bool(config[mode].data_loader.shuffle),
         )
         for mode, ds in datasets.items()
     }
