@@ -84,6 +84,11 @@ class MelSolver:
     # -- setup -----------------------------------------------------------------
 
     def init_state(self) -> TrainState:
+        # one-time HBM spectrogram caches: every subsequent mining pool /
+        # triplet batch is a device gather instead of a host wav transfer
+        for ds in (self.data_train, self.data_val):
+            if getattr(ds, "build_device_cache", None) and ds._device_cache is None:
+                ds.build_device_cache()
         spec = self.data_train.spectrogram_batch(np.arange(min(2, len(self.data_train))))
         variables = self.model.init(jax.random.PRNGKey(self.seed), spec)
         params = variables["params"]
