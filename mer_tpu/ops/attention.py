@@ -66,13 +66,16 @@ def dot_product_attention(
 
 
 def _should_use_pallas(q: jnp.ndarray, dropout_rate: float, deterministic: bool) -> bool:
-    # Measured on v5e (b16 h12 s512 dh64): XLA's own attention fusion beats
-    # the Pallas kernel at this workload's shapes (0.81 ms vs 1.05 ms bf16),
-    # so the kernel is opt-in (use_pallas=True or MER_TPU_FLASH_ATTENTION=1)
-    # pending a deeper pipelined rewrite.
+    # Measured on v5e (bf16, h8-12, dh64): XLA's attention fusion wins at the
+    # standard encoder lengths (s=512: 0.81 ms vs 1.05 ms) but the fused
+    # kernel wins on long sequences where XLA materializes [S, S]
+    # (s=2048: 1.95 vs 2.19 ms; s=4096: 3.72 vs 5.00 ms) — the long-audio
+    # streaming axis. Auto-dispatch follows those measurements; set
+    # MER_TPU_FLASH_ATTENTION=1 to force the kernel, =0 to force XLA.
     import os
 
-    if os.environ.get("MER_TPU_FLASH_ATTENTION") != "1":
+    force = os.environ.get("MER_TPU_FLASH_ATTENTION")
+    if force == "0":
         return False
     if dropout_rate > 0.0 and not deterministic:
         return False
@@ -83,7 +86,11 @@ def _should_use_pallas(q: jnp.ndarray, dropout_rate: float, deterministic: bool)
     if backend != "tpu":
         return False
     sq, dh = q.shape[-2], q.shape[-1]
-    return sq >= 128 and dh % 8 == 0
+    if dh % 8 != 0 or sq > 8192:  # >8192 keys would exceed VMEM (needs K streaming)
+        return False
+    if force == "1":
+        return sq >= 128
+    return sq >= 2048
 
 
 def _attention_reference(

@@ -61,7 +61,50 @@ def flash_attention(
     key_padding_mask: jnp.ndarray | None = None,
     interpret: bool = False,
 ) -> jnp.ndarray:
-    """[B, H, Sq, Dh] x [B, H, Sk, Dh]^2 -> [B, H, Sq, Dh], fused on TPU."""
+    """[B, H, Sq, Dh] x [B, H, Sk, Dh]^2 -> [B, H, Sq, Dh], fused on TPU.
+
+    Differentiable: the forward runs the Pallas kernel; the backward
+    recomputes attention through the jnp reference implementation (exact
+    same math) so jax.grad works without a hand-written backward kernel.
+    """
+    b, sk = q.shape[0], k.shape[2]
+    if key_padding_mask is None:
+        key_ignore = jnp.zeros((b, sk), bool)
+    else:
+        key_ignore = key_padding_mask
+    key_bias = jnp.where(key_ignore, _NEG_INF, 0.0).astype(jnp.float32)  # [B, Sk]
+    return _flash_core(q, k, v, key_bias, interpret)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4,))
+def _flash_core(q, k, v, key_bias, interpret=False):
+    return _flash_impl(q, k, v, key_bias, interpret)
+
+
+def _flash_fwd(q, k, v, key_bias, interpret):
+    return _flash_impl(q, k, v, key_bias, interpret), (q, k, v, key_bias)
+
+
+def _flash_bwd(interpret, residuals, g):
+    q, k, v, key_bias = residuals
+
+    def ref(q, k, v, key_bias):
+        # reference math in bias form (avoids bool-mask cotangents)
+        dh = q.shape[-1]
+        scores = jnp.einsum("bhqd,bhkd->bhqk", q * (1.0 / math.sqrt(dh)), k)
+        scores = scores + key_bias[:, None, None, :]
+        probs = jax.nn.softmax(scores.astype(jnp.float32), axis=-1).astype(q.dtype)
+        return jnp.einsum("bhqk,bhkd->bhqd", probs, v)
+
+    _, vjp = jax.vjp(ref, q, k, v, key_bias)
+    dq, dk, dv, dbias = vjp(g)
+    return dq, dk, dv, jnp.zeros_like(key_bias)
+
+
+_flash_core.defvjp(_flash_fwd, _flash_bwd)
+
+
+def _flash_impl(q, k, v, key_bias, interpret=False) -> jnp.ndarray:
     b, h, sq, dh = q.shape
     sk = k.shape[2]
     scale = 1.0 / math.sqrt(dh)
@@ -74,13 +117,9 @@ def flash_attention(
     kp = jnp.pad(k, ((0, 0), (0, 0), (0, sk_p - sk), (0, dh_p - dh))).reshape(b * h, sk_p, dh_p)
     vp = jnp.pad(v, ((0, 0), (0, 0), (0, sk_p - sk), (0, dh_p - dh))).reshape(b * h, sk_p, dh_p)
 
-    # key bias [B, 1, Sk_p]: -inf at padded keys and beyond-sk tail
-    if key_padding_mask is None:
-        key_ignore = jnp.zeros((b, sk), bool)
-    else:
-        key_ignore = key_padding_mask
-    key_ignore = jnp.pad(key_ignore, ((0, 0), (0, sk_p - sk)), constant_values=True)
-    bias = jnp.where(key_ignore, _NEG_INF, 0.0).astype(jnp.float32)[:, None, :]  # [B, 1, Sk_p]
+    # key bias [B, Sk] -> [BH, 1, Sk_p] with -inf beyond the true sk tail
+    bias = jnp.pad(key_bias.astype(jnp.float32), ((0, 0), (0, sk_p - sk)), constant_values=_NEG_INF)
+    bias = bias[:, None, :]
     bias = jnp.broadcast_to(bias[:, None], (b, h, 1, sk_p)).reshape(b * h, 1, sk_p)
 
     grid = (b * h, sq_p // BLOCK_Q)

@@ -1,6 +1,8 @@
 """Fused attention kernel vs the reference jnp implementation."""
 
 import numpy as np
+
+import jax
 import pytest
 
 import jax.numpy as jnp
@@ -51,3 +53,27 @@ class TestFlashAttention:
         )
         got = flash_attention(q, k, v, key_padding_mask=mask, interpret=True)
         np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=2e-4, atol=5e-5)
+
+
+class TestFlashAttentionGrad:
+    def test_grad_matches_reference(self):
+        """jax.grad through the kernel (custom VJP recomputes via reference)."""
+        q, k, v = _qkv(b=1, h=2, sq=64, sk=64, dh=16, seed=7)
+        rng = np.random.default_rng(8)
+        mask = jnp.asarray(rng.random((1, 64)) < 0.2)
+
+        def loss_flash(q, k, v):
+            return (flash_attention(q, k, v, key_padding_mask=mask, interpret=True) ** 2).sum()
+
+        def loss_ref(q, k, v):
+            return (
+                _attention_reference(
+                    q, k, v, key_padding_mask=mask, dropout_rate=0.0,
+                    dropout_rng=None, deterministic=True,
+                ) ** 2
+            ).sum()
+
+        g1 = jax.grad(loss_flash, argnums=(0, 1, 2))(q, k, v)
+        g2 = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+        for a, b in zip(g1, g2):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-3, atol=1e-4)
