@@ -134,7 +134,11 @@ class MelFeatureDataset:
 
     def _spectrogram_from_waveforms(self, indices: np.ndarray, key: jax.Array | None = None) -> jnp.ndarray:
         waves, lengths = self.waveform_batch(indices)
-        waves_j, lengths_j = jnp.asarray(waves), jnp.asarray(lengths)
+        # int16 on the wire: PCM's native width, half the H2D bytes; the
+        # per-clip peak normalization in the mel pipeline cancels the scale
+        waves_i16 = np.clip(waves * 32768.0, -32768, 32767).astype(np.int16)
+        waves_j = jnp.asarray(waves_i16).astype(jnp.float32)
+        lengths_j = jnp.asarray(lengths)
 
         augment = (
             key is not None
