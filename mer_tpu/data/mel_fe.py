@@ -22,6 +22,14 @@ import jax.numpy as jnp
 from mer_tpu.core import get_text, map_emotions
 from mer_tpu.ops.logmel import MelConfig, log_mel_spectrogram
 
+@jax.jit
+def _cache_gather(cache: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
+    """uint8 HBM cache rows -> [n, F, M, 3] float spectrogram images."""
+    gray = cache[idx].astype(jnp.float32) / 255.0
+    n = idx.shape[0]
+    return jnp.broadcast_to(gray[..., None], (n, gray.shape[1], gray.shape[2], 3))
+
+
 _SPLIT_WAV_DIRS = {
     "train": "MELD.Raw/train_splits/wav",
     "val": "MELD.Raw/dev_splits_complete/wav",
@@ -169,8 +177,8 @@ class MelFeatureDataset:
         (waveform path only) when a PRNG key is given on the train split."""
         wants_augment = key is not None and self.mode == "train" and self.augmentation_factor > 1
         if self._device_cache is not None and not wants_augment:
+            # one jitted gather+decode call: eager indexing would cost several
+            # dispatch round-trips per batch on remote-dispatch TPU setups
             idx = jnp.asarray(np.asarray(indices, dtype=np.int32))
-            gray = self._device_cache[idx].astype(jnp.float32) / 255.0  # [n, F, M]
-            n = idx.shape[0]
-            return jnp.broadcast_to(gray[..., None], (n, gray.shape[1], gray.shape[2], 3))
+            return _cache_gather(self._device_cache, idx)
         return self._spectrogram_from_waveforms(indices, key=key)
