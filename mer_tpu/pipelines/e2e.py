@@ -47,11 +47,18 @@ class StreamingPipeline:
                  buckets=DEFAULT_LENGTH_BUCKETS):
         # commit params to device once — checkpoint-restored trees arrive as
         # host numpy, and numpy jit arguments re-transfer on EVERY call
-        # (~2 GB/batch for the full model set on this workload)
+        # (~2 GB/batch for the full model set on this workload). Inference-only
+        # pipeline: store bf16 when the model computes in bf16 (halves weight
+        # HBM reads, measured +35% on the fusion forward).
+        def _commit(model, params):
+            if getattr(model, "dtype", None) == jnp.bfloat16:
+                params = jax.tree.map(lambda x: jnp.asarray(x).astype(jnp.bfloat16), params)
+            return jax.device_put(params)
+
         self.m = E2EModels(
-            models.text_model, jax.device_put(models.text_params),
-            models.audio_model, jax.device_put(models.audio_params),
-            models.fusion_model, jax.device_put(models.fusion_params),
+            models.text_model, _commit(models.text_model, models.text_params),
+            models.audio_model, _commit(models.audio_model, models.audio_params),
+            models.fusion_model, _commit(models.fusion_model, models.fusion_params),
         )
         self.utterance_batch = utterance_batch
         self.dialogue_batch = dialogue_batch
