@@ -44,6 +44,11 @@ class MelSolver:
         self.logger = RunLogger(config)
         self.loss_fn = make_embedding_loss(config)
         self.mining_type = str(config.get_path("solver.mining_type", "hard"))
+        # async_mining=True mines batch k+1 (with the params from *before*
+        # step k's update — one step staler than the reference's semantics)
+        # in a worker thread while step k's gradient computes. Documented
+        # semantic deviation, off by default.
+        self.async_mining = bool(config.get_path("solver.async_mining", False))
         self.batch_size = int(config.train.data_loader.batch_size)
         self.val_batch_size = int(config.val.data_loader.batch_size)
 
@@ -96,7 +101,10 @@ class MelSolver:
         steps_per_epoch = len(self.data_train) // self.batch_size
         self._optimizer, self._schedule = optimizer_from_config(self.config.solver, steps_per_epoch)
         opt_state = self._optimizer.init(params)
-        self._train_step = jax.jit(self._triplet_step_fn, donate_argnums=(0,))
+        # async mining reads the pre-update params concurrently with the
+        # step — donation would invalidate those buffers mid-use
+        donate = () if self.async_mining else (0,)
+        self._train_step = jax.jit(self._triplet_step_fn, donate_argnums=donate)
         return TrainState(params=params, opt_state=opt_state, step=jnp.zeros((), jnp.int32))
 
     def _miner(self, dataset, params) -> TripletMiner:
@@ -118,6 +126,8 @@ class MelSolver:
 
     def train_epoch(self, state: TrainState, epoch: int, rng) -> tuple[TrainState, float]:
         n_steps = len(self.data_train) // self.batch_size
+        if self.async_mining:
+            return self._train_epoch_async(state, epoch, rng, n_steps)
         total = 0.0
         for step in range(n_steps):
             miner = self._miner(self.data_train, state.params)
@@ -127,6 +137,29 @@ class MelSolver:
             state, loss = self._train_step(state, spec)
             total += float(loss)
             self.logger.log_step(total / (step + 1))
+        return state, total / max(n_steps, 1)
+
+    def _train_epoch_async(self, state: TrainState, epoch: int, rng, n_steps: int) -> tuple[TrainState, float]:
+        from concurrent.futures import ThreadPoolExecutor
+
+        def produce(params, step):
+            miner = self._miner(self.data_train, params)
+            a, p, n = miner.mine(self.batch_size, self.mining_type)
+            key = jax.random.fold_in(rng, epoch * n_steps + step)
+            return self._fetch_triplet_batch(self.data_train, a, p, n, key=key)
+
+        total = 0.0
+        losses = []
+        with ThreadPoolExecutor(max_workers=1) as pool:
+            fut = pool.submit(produce, state.params, 0)
+            for step in range(n_steps):
+                spec = fut.result()
+                if step + 1 < n_steps:
+                    # mine the next batch with the CURRENT (pre-update) params
+                    fut = pool.submit(produce, state.params, step + 1)
+                state, loss = self._train_step(state, spec)
+                losses.append(loss)
+        total = float(jnp.sum(jnp.stack(losses))) if losses else 0.0
         return state, total / max(n_steps, 1)
 
     def validate(self, params) -> float:

@@ -271,3 +271,16 @@ class TestStageChaining:
         assert np.isfinite(history["loss_values"][0])
         result = fusion_solver.test(val_b, fstate.params)
         assert 0.0 <= result["weighted_f1"] <= 1.0
+
+
+class TestAsyncMining:
+    def test_async_epoch_trains(self, meld_like_root_with_wavs, tmp_path):
+        root, _ = meld_like_root_with_wavs
+        cfg = _mel_config(tmp_path, root, epochs=1)
+        cfg = cfg.override(solver__async_mining=True)
+        train_ds = MelFeatureDataset("train", cfg, data_root=root)
+        val_ds = MelFeatureDataset("val", cfg, data_root=root)
+        solver = MelSolver(AudioMelFeatureExtractor(embedding_size=16), cfg, train_ds, val_ds, seed=0)
+        assert solver.async_mining
+        state, history = solver.fit()
+        assert np.isfinite(history["loss_values"][0])
