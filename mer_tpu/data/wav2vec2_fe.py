@@ -46,15 +46,25 @@ class Wav2Vec2FeatureDataset:
         return self.store.get(dia, utt)
 
 
+def w2v_batch_to_inputs(batch: dict):
+    """Model inputs from a batch; int16 audio (the wire format — half the
+    host->device bytes) converts to float on device inside the jitted step."""
+    audio = batch["audio"]
+    if hasattr(audio, "dtype") and str(audio.dtype) == "int16":
+        audio = audio.astype("float32") / 32768.0
+    return audio, batch["lengths"]
+
+
 class Wav2Vec2Batcher:
     def __init__(self, dataset: Wav2Vec2FeatureDataset, batch_size: int, shuffle: bool = False,
                  seed: int = 0, seconds_buckets: tuple[float, ...] = SECONDS_BUCKETS,
-                 sort_by_length: bool = True):
+                 sort_by_length: bool = True, wire_dtype: str = "int16"):
         self.dataset = dataset
         self.batch_size = batch_size
         self.shuffle = shuffle
         self.sort_by_length = sort_by_length
         self.buckets = tuple(int(s * dataset.sample_rate) for s in seconds_buckets)
+        self.wire_dtype = wire_dtype
         self._rng = np.random.default_rng(seed)
 
     def __len__(self) -> int:
@@ -82,11 +92,15 @@ class Wav2Vec2Batcher:
             waves = [self.dataset.waveform(j) for j in full_idx]
             longest = max(len(w) for w in waves)
             width = self._bucket(longest)
-            audio = np.zeros((self.batch_size, width), dtype=np.float32)
+            use_i16 = self.wire_dtype == "int16"
+            audio = np.zeros((self.batch_size, width), dtype=np.int16 if use_i16 else np.float32)
             lengths = np.zeros((self.batch_size,), dtype=np.int32)
             for i, w in enumerate(waves):
                 w = w[:width]
-                audio[i, : len(w)] = w
+                if use_i16:
+                    audio[i, : len(w)] = np.clip(w * 32768.0, -32768, 32767).astype(np.int16)
+                else:
+                    audio[i, : len(w)] = w
                 lengths[i] = len(w)
             emotion = self.dataset.labels[full_idx].astype(np.int32).copy()
             if pad:

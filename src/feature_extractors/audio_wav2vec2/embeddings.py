@@ -16,6 +16,7 @@ from fe_common import REPO_ROOT, export_embedding_table, load_wav2vec2_model, pa
 
 from mer_tpu.core import load_config, save_embeddings
 from mer_tpu.data import Wav2Vec2Batcher, Wav2Vec2FeatureDataset
+from mer_tpu.data.wav2vec2_fe import w2v_batch_to_inputs
 from mer_tpu.models.wav2vec2 import AudioERC
 from mer_tpu.train import load_checkpoint
 from mer_tpu.train.checkpoint import restore_into
@@ -49,7 +50,7 @@ def main(argv=None, save_dir: str = "embeddings/audio_wav2vec2"):
 
     params = jax.device_put(params)  # avoid per-call transfer of numpy trees
     embed = jax.jit(
-        lambda p, audio, lengths: model.apply({"params": p}, audio, lengths, method=AudioERC.embed)
+        lambda p, audio, lengths: model.apply({"params": p}, audio.astype("float32") / 32768.0 if str(audio.dtype) == "int16" else audio, lengths, method=AudioERC.embed)
     )
 
     for mode in ["train", "val", "test"]:

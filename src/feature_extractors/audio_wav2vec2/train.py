@@ -10,6 +10,7 @@ from fe_common import REPO_ROOT, load_wav2vec2_model, parse_args, with_pretraine
 
 from mer_tpu.core import load_config
 from mer_tpu.data import Wav2Vec2Batcher, Wav2Vec2FeatureDataset
+from mer_tpu.data.wav2vec2_fe import w2v_batch_to_inputs
 from mer_tpu.objectives import balanced_class_weights
 from mer_tpu.train import FESolver
 
@@ -39,7 +40,7 @@ def main(argv=None):
 
     solver = FESolver(
         model, config, backbone_key="wav2vec2",
-        batch_to_inputs=lambda b: (b["audio"], b["lengths"]),
+        batch_to_inputs=w2v_batch_to_inputs,
         class_weights=class_weights,
     )
 

@@ -9,6 +9,7 @@ import jax
 import jax.numpy as jnp
 
 from mer_tpu.core import Config
+from mer_tpu.data.wav2vec2_fe import w2v_batch_to_inputs
 from mer_tpu.data import (
     MelFeatureDataset,
     TextBatcher,
@@ -184,7 +185,7 @@ class TestWav2Vec2Pipeline:
         )
         solver = FESolver(
             AudioERC(SMALL_W2V), cfg, backbone_key="wav2vec2",
-            batch_to_inputs=lambda b: (b["audio"], b["lengths"]),
+            batch_to_inputs=w2v_batch_to_inputs,
         )
         state, history = solver.fit(train_b, val_b)
         assert np.isfinite(history["loss_values"][0])
