@@ -45,6 +45,26 @@ class Wav2Vec2FeatureDataset:
         dia, utt = self.dia_utt[int(idx)]
         return self.store.get(dia, utt)
 
+    def waveform_lengths(self) -> np.ndarray:
+        """Clip lengths in samples (post-truncation), from WAV headers only —
+        no sample data is read. Cached after the first call."""
+        if getattr(self, "_lengths", None) is None:
+            import wave
+
+            out = np.zeros((len(self),), dtype=np.int64)
+            for i, (dia, utt) in enumerate(self.dia_utt):
+                try:
+                    with wave.open(self.store.path_for(dia, utt), "rb") as f:
+                        n = f.getnframes()
+                        sr = f.getframerate()
+                    if sr != self.sample_rate:
+                        n = int(n * self.sample_rate / sr)
+                    out[i] = min(n, int(self.max_seconds * self.sample_rate))
+                except (OSError, wave.Error):
+                    out[i] = 0
+            self._lengths = out
+        return self._lengths
+
 
 def w2v_batch_to_inputs(batch: dict):
     """Model inputs from a batch; int16 audio (the wire format — half the
@@ -81,11 +101,15 @@ class Wav2Vec2Batcher:
         order = np.arange(n)
         if self.shuffle:
             self._rng.shuffle(order)
+        if self.sort_by_length and self.shuffle:
+            # group similar lengths into batches (less padding, fewer bucket
+            # switches) while shuffling batch order for stochasticity;
+            # eval (shuffle=False) keeps dataset order for metric parity
+            lengths = self.dataset.waveform_lengths()[order]
+            order = order[np.argsort(lengths, kind="stable")]
         batches = [order[i : i + self.batch_size] for i in range(0, n, self.batch_size)]
-        if self.sort_by_length:
-            # order batches by content length for fewer shape switches;
-            # shuffle batch order to keep training stochastic
-            pass
+        if self.shuffle:
+            self._rng.shuffle(batches)
         for idx in batches:
             pad = self.batch_size - len(idx)
             full_idx = np.concatenate([idx, idx[-1:].repeat(pad)]) if pad else idx

@@ -285,3 +285,20 @@ class TestAsyncMining:
         assert solver.async_mining
         state, history = solver.fit()
         assert np.isfinite(history["loss_values"][0])
+
+
+class TestWav2Vec2Bucketing:
+    def test_header_lengths_match_data(self, meld_like_root_with_wavs):
+        root, _ = meld_like_root_with_wavs
+        ds = Wav2Vec2FeatureDataset("val", data_root=root)
+        lengths = ds.waveform_lengths()
+        for i in range(min(5, len(ds))):
+            assert lengths[i] == len(ds.waveform(i))
+
+    def test_sorted_batches_cover_all(self, meld_like_root_with_wavs):
+        root, sizes = meld_like_root_with_wavs
+        ds = Wav2Vec2FeatureDataset("train", data_root=root)
+        batcher = Wav2Vec2Batcher(ds, batch_size=4, shuffle=True, seed=0,
+                                  seconds_buckets=(0.5, 1.0), sort_by_length=True)
+        seen = sum(int((b["emotion"] != -1).sum()) for b in batcher)
+        assert seen == sizes["train"]
