@@ -148,7 +148,6 @@ class FusionBatcher:
         self.sort_by_length = sort_by_length
         self.drop_last = drop_last
         self._rng = np.random.default_rng(seed)
-        self._epoch = 0
 
     def __len__(self) -> int:
         n = len(self.dataset)
@@ -171,7 +170,6 @@ class FusionBatcher:
             batches = batches[:-1]
         if self.shuffle:
             self._rng.shuffle(batches)
-        self._epoch += 1
 
         for idxs in batches:
             yield collate_dialogues(

@@ -159,11 +159,6 @@ def shard_params(params: Any, mesh: Mesh) -> Any:
     )
 
 
-def shard_like_params(tree: Any, params_shardings: Any) -> Any:
-    """Shard an optimizer-state pytree by matching leaves to param shapes."""
-    return tree  # optimizer states follow params automatically under jit
-
-
 def pad_batch_to_dp(batch: dict, dp: int) -> dict:
     """Pad the leading dim of every array so it divides the dp axis size."""
 
