@@ -302,3 +302,33 @@ class TestWav2Vec2Bucketing:
                                   seconds_buckets=(0.5, 1.0), sort_by_length=True)
         seen = sum(int((b["emotion"] != -1).sum()) for b in batcher)
         assert seen == sizes["train"]
+
+
+class TestAugmentedMelPath:
+    def test_augmentation_factor_streams_waveforms(self, meld_like_root_with_wavs, tmp_path):
+        """augmentation_factor > 1 uses the on-the-fly augment path (no HBM
+        cache) and produces valid, clip-dependent spectrograms."""
+        root, _ = meld_like_root_with_wavs
+        cfg = _mel_config(tmp_path, root, epochs=1)
+        cfg = cfg.override(AUDIO__augmentation_factor=3)
+        ds = MelFeatureDataset("train", cfg, data_root=root)
+        ds.build_device_cache()
+        assert ds._device_cache is None  # augmented train split: no static cache
+
+        key = jax.random.PRNGKey(0)
+        spec1 = np.asarray(ds.spectrogram_batch(np.arange(4), key=key))
+        spec2 = np.asarray(ds.spectrogram_batch(np.arange(4), key=jax.random.PRNGKey(9)))
+        assert spec1.shape == (4, 101, 128, 3)
+        assert np.isfinite(spec1).all()
+        assert spec1.min() >= 0.0 and spec1.max() <= 1.0
+        # different keys -> different augmented variants (some clip augmented)
+        assert not np.allclose(spec1, spec2)
+
+    def test_val_split_never_augments(self, meld_like_root_with_wavs, tmp_path):
+        root, _ = meld_like_root_with_wavs
+        cfg = _mel_config(tmp_path, root, epochs=1)
+        cfg = cfg.override(AUDIO__augmentation_factor=3)
+        ds = MelFeatureDataset("val", cfg, data_root=root)
+        s1 = np.asarray(ds.spectrogram_batch(np.arange(3), key=jax.random.PRNGKey(1)))
+        s2 = np.asarray(ds.spectrogram_batch(np.arange(3), key=jax.random.PRNGKey(2)))
+        np.testing.assert_array_equal(s1, s2)
