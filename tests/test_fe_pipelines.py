@@ -332,3 +332,24 @@ class TestAugmentedMelPath:
         s1 = np.asarray(ds.spectrogram_batch(np.arange(3), key=jax.random.PRNGKey(1)))
         s2 = np.asarray(ds.spectrogram_batch(np.arange(3), key=jax.random.PRNGKey(2)))
         np.testing.assert_array_equal(s1, s2)
+
+
+class TestClassWeights:
+    def test_balanced_weights_path(self, meld_like_root, tmp_path):
+        from mer_tpu.objectives import balanced_class_weights
+
+        root, _ = meld_like_root
+        tok = ToyWhitespaceTokenizer(vocab_size=SMALL_ROBERTA.vocab_size)
+        ds = TextFeatureDataset("train", tok, data_root=root)
+        weights = balanced_class_weights(ds.get_labels())
+        assert weights.shape == (7,)
+        train_b = TextBatcher(ds, batch_size=8, shuffle=True)
+        val_b = TextBatcher(TextFeatureDataset("val", tok, data_root=root), batch_size=8)
+        cfg = _text_config(tmp_path, epochs=1, num_frozen=1)
+        solver = FESolver(
+            TextERC(SMALL_ROBERTA), cfg, backbone_key="roberta",
+            batch_to_inputs=lambda b: (b["text"], b["attention_mask"]),
+            class_weights=weights,
+        )
+        state, history = solver.fit(train_b, val_b)
+        assert np.isfinite(history["loss_values"][0])

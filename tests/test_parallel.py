@@ -165,3 +165,40 @@ class TestSequenceParallel:
         l_sharded = jax.device_put(lengths, batch_sharding(mesh))
         got = np.asarray(log_mel_spectrogram(b_sharded, l_sharded, cfg))
         np.testing.assert_allclose(got, ref, atol=1e-6)
+
+
+class TestFitWithMesh:
+    def test_full_fit_on_dp_tp_mesh(self, tmp_path):
+        """The whole Solver.fit loop (train epochs + eval + checkpoint +
+        early stopping) on a 4x2 mesh."""
+        from mer_tpu.data import FusionBatcher, SyntheticFusionDataset
+
+        mesh = make_mesh(dp=4, tp=2)
+        cfg = Config(
+            {
+                "checkpoint": {
+                    "save_path": str(tmp_path / "m.ckpt"),
+                    "load_path": str(tmp_path / "m.ckpt"),
+                    "save_checkpoint": True,
+                    "load_checkpoint": False,
+                },
+                "solver": {
+                    "lr": 1e-3, "weight_decay": 0.01, "epochs": 2,
+                    "scheduler": {"enabled": True, "scheduler_fn": "ExponentialLR", "gamma": 0.9},
+                    "early_stopping": {"enabled": True, "patience": 3, "restore_best_weights": True},
+                },
+                "wandb": {"enabled": False},
+                "tpu": {"seed": 0},
+            }
+        )
+        train = FusionBatcher(SyntheticFusionDataset(n_dialogues=24, d_text=32, d_audio=32, seed=0), 8, shuffle=True)
+        val = FusionBatcher(SyntheticFusionDataset(n_dialogues=8, d_text=32, d_audio=32, seed=9), 8)
+        solver = Solver(_model(), cfg, mesh=mesh)
+        state, history = solver.fit(train, val)
+        assert len(history["loss_values"]) == 2
+        assert history["loss_values"][1] < history["loss_values"][0]
+        import os
+
+        assert os.path.exists(cfg.checkpoint.save_path)
+        result = solver.test(val, state.params)
+        assert 0.0 <= result["accuracy"] <= 1.0
