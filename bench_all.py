@@ -38,19 +38,24 @@ def bench_fusion(results: dict) -> None:
     results["fusion_inference_device_resident_utt_per_s"] = round(device_resident, 1)
     results["fusion_inference_streaming_utt_per_s"] = round(streaming, 1)
 
+    from mer_tpu.data import DeviceFusionBatcher
+    from mer_tpu.data.synthetic import SyntheticFusionDataset
+
     cfg = load_config(os.path.join(REPO_ROOT, "src", "config.yaml"))
     model = M2FNet.from_config(cfg.model, dtype=jnp.bfloat16, scan_layers=True)
     solver = Solver(model, cfg)
-    state = solver.init_state(next(iter(batcher)), steps_per_epoch=len(batcher))
+    ds = SyntheticFusionDataset(n_dialogues=280, seed=1234, learnable=False)
+    dev_batcher = DeviceFusionBatcher(ds, batch_size=BATCH, shuffle=True, seed=0)
+    state = solver.init_state(next(iter(dev_batcher)), steps_per_epoch=len(dev_batcher))
     solver._build_steps()
     rng = jax.random.PRNGKey(0)
-    for b in prefetch(batcher):
+    for b in dev_batcher:
         state, loss = solver._train_step(state, b, rng)
     _ = float(loss)
     times = []
     for _ in range(3):
         t0 = time.perf_counter()
-        for b in prefetch(batcher):
+        for b in dev_batcher:
             state, loss = solver._train_step(state, b, rng)
         _ = float(loss)  # chained: forces the full epoch
         times.append(time.perf_counter() - t0)

@@ -1,5 +1,5 @@
 from mer_tpu.data.audio_io import WaveformStore, load_wav, save_wav
-from mer_tpu.data.fusion import DEFAULT_LENGTH_BUCKETS, FusionBatcher, FusionDataset, collate_dialogues, pick_bucket
+from mer_tpu.data.fusion import DEFAULT_LENGTH_BUCKETS, DeviceFusionBatcher, FusionBatcher, FusionDataset, collate_dialogues, pick_bucket
 from mer_tpu.data.mel_fe import MelFeatureDataset, wav_dir_for
 from mer_tpu.data.prefetch import DevicePrefetcher, prefetch
 from mer_tpu.data.synthetic import SyntheticFusionDataset, synthetic_dialogues
@@ -9,6 +9,7 @@ from mer_tpu.data.wav2vec2_fe import Wav2Vec2Batcher, Wav2Vec2FeatureDataset
 __all__ = [
     "FusionDataset",
     "FusionBatcher",
+    "DeviceFusionBatcher",
     "collate_dialogues",
     "pick_bucket",
     "DEFAULT_LENGTH_BUCKETS",

@@ -20,6 +20,8 @@ TPU-native redesign:
 
 from __future__ import annotations
 
+from functools import partial
+
 import numpy as np
 
 from mer_tpu.core import dialogue_index, embeddings_path, get_text, load_embeddings, map_emotions
@@ -119,6 +121,83 @@ def collate_dialogues(
     padding_mask[empty_rows, 0] = False
 
     return {"text": text, "audio": audio, "emotion": emotion, "padding_mask": padding_mask}
+
+
+class DeviceFusionBatcher:
+    """FusionBatcher with the whole dataset resident in HBM.
+
+    The fusion embeddings are tiny (MELD train: ~1k dialogues x 33 x 768 x 2
+    float32 ~ 210 MB), so all dialogues are padded to the max bucket once and
+    kept on device; every epoch's batches are jitted gathers with zero
+    host->device traffic.  Yields device-array batches with the exact same
+    keys/semantics as FusionBatcher (drop-in for Solver.train_epoch — the
+    prefetcher's device_put on an already-device array is a no-op).
+    """
+
+    def __init__(self, dataset, batch_size: int, shuffle: bool = False, seed: int = 0,
+                 buckets: tuple[int, ...] = DEFAULT_LENGTH_BUCKETS, sort_by_length: bool = True):
+        import jax
+        import jax.numpy as jnp
+
+        self.batch_size = batch_size
+        self.shuffle = shuffle
+        self.buckets = tuple(buckets)
+        self.sort_by_length = sort_by_length
+        self._rng = np.random.default_rng(seed)
+
+        n = len(dataset)
+        max_len = max(self.buckets[-1], max(dataset[i]["emotion"].shape[0] for i in range(n)))
+        d_text = dataset[0]["text"].shape[-1]
+        d_audio = dataset[0]["audio"].shape[-1]
+        text = np.zeros((n, max_len, d_text), np.float32)
+        audio = np.zeros((n, max_len, d_audio), np.float32)
+        emotion = np.full((n, max_len), -1, np.int32)
+        for i in range(n):
+            d = dataset[i]
+            u = d["emotion"].shape[0]
+            text[i, :u] = d["text"]
+            audio[i, :u] = d["audio"]
+            emotion[i, :u] = d["emotion"]
+        self._lengths = (emotion != -1).sum(axis=1)
+        self._text = jnp.asarray(text)
+        self._audio = jnp.asarray(audio)
+        self._emotion = jnp.asarray(emotion)
+        self._n = n
+
+        @partial(jax.jit, static_argnames=("bucket",))
+        def gather(text_all, audio_all, emotion_all, idx, bucket):
+            safe = jnp.maximum(idx, 0)
+            valid_row = (idx >= 0)[:, None]
+            t = jnp.where(valid_row[..., None], text_all[safe, :bucket], 0.0)
+            a = jnp.where(valid_row[..., None], audio_all[safe, :bucket], 0.0)
+            e = jnp.where(valid_row, emotion_all[safe, :bucket], -1)
+            mask = e == -1
+            # keep one attendable key in all-pad rows (collate_dialogues parity)
+            empty = mask.all(axis=1)
+            mask = mask.at[:, 0].set(jnp.where(empty, False, mask[:, 0]))
+            return {"text": t, "audio": a, "emotion": e, "padding_mask": mask}
+
+        self._gather = gather
+
+    def __len__(self) -> int:
+        return (self._n + self.batch_size - 1) // self.batch_size
+
+    def __iter__(self):
+        order = np.arange(self._n)
+        if self.shuffle:
+            self._rng.shuffle(order)
+        if self.sort_by_length:
+            order = order[np.argsort(self._lengths[order], kind="stable")]
+        batches = [order[i : i + self.batch_size] for i in range(0, self._n, self.batch_size)]
+        if self.shuffle:
+            self._rng.shuffle(batches)
+        import jax.numpy as jnp
+
+        for idxs in batches:
+            pad = self.batch_size - len(idxs)
+            full = np.concatenate([idxs, -np.ones(pad, np.int64)]) if pad else idxs
+            bucket = pick_bucket(int(self._lengths[idxs].max()), self.buckets)
+            yield self._gather(self._text, self._audio, self._emotion, jnp.asarray(full.astype(np.int32)), bucket)
 
 
 class FusionBatcher:

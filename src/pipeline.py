@@ -18,7 +18,7 @@ if REPO_ROOT not in sys.path:
 import jax.numpy as jnp  # noqa: E402
 
 from mer_tpu.core import load_config  # noqa: E402
-from mer_tpu.data import FusionBatcher, FusionDataset, SyntheticFusionDataset  # noqa: E402
+from mer_tpu.data import DeviceFusionBatcher, FusionBatcher, FusionDataset, SyntheticFusionDataset  # noqa: E402
 from mer_tpu.models import M2FNet  # noqa: E402
 from mer_tpu.objectives import balanced_class_weights  # noqa: E402
 from mer_tpu.parallel import mesh_from_config  # noqa: E402
@@ -51,8 +51,17 @@ def build(args, modes: tuple[str, ...]):
         print(f"Loaded {len(datasets[mode])} dialogues for {mode}ing")
 
     buckets = tuple(config.get_path("tpu.length_buckets", (8, 16, 24, 33)))
+    try:
+        mesh = mesh_from_config(config)
+    except ValueError:
+        mesh = None
+    multi_device = mesh is not None and mesh.size > 1
+
+    # device-resident dataset (zero H2D per epoch) on single-device runs;
+    # host batching + sharded prefetch across a mesh
+    batcher_cls = FusionBatcher if (multi_device or not bool(config.get_path("tpu.device_data", True))) else DeviceFusionBatcher
     batchers = {
-        mode: FusionBatcher(
+        mode: batcher_cls(
             ds,
             batch_size=int(config[mode].data_loader.batch_size),
             shuffle=bool(config[mode].data_loader.shuffle),
@@ -75,10 +84,5 @@ def build(args, modes: tuple[str, ...]):
     if bool(config.solver.balance_classes) and "train" in datasets:
         class_weights = balanced_class_weights(datasets["train"].get_labels())
 
-    try:
-        mesh = mesh_from_config(config)
-    except ValueError:
-        mesh = None
-
-    solver = Solver(model, config, class_weights=class_weights, mesh=mesh)
+    solver = Solver(model, config, class_weights=class_weights, mesh=mesh if multi_device else None)
     return config, datasets, batchers, solver

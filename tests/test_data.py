@@ -176,3 +176,57 @@ class TestFusionDatasetArtifacts:
         config = Config({"embeddings": {"text": str(tmp_path / "nope"), "audio": str(tmp_path / "nope")}})
         with pytest.raises(FileNotFoundError, match="feature-extractor exporters"):
             FusionDataset("val", config, data_root=root)
+
+
+class TestDeviceFusionBatcher:
+    def test_matches_host_batcher_semantics(self):
+        from mer_tpu.data import DeviceFusionBatcher
+
+        ds = SyntheticFusionDataset(n_dialogues=21, d_text=8, d_audio=8, seed=11)
+        host = FusionBatcher(ds, batch_size=8, shuffle=False, sort_by_length=True)
+        dev = DeviceFusionBatcher(ds, batch_size=8, shuffle=False, sort_by_length=True)
+        hb, db = list(host), list(dev)
+        assert len(hb) == len(db)
+        for h, d in zip(hb, db):
+            assert isinstance(d["text"], jax.Array)
+            np.testing.assert_array_equal(h["emotion"], np.asarray(d["emotion"]))
+            np.testing.assert_allclose(h["text"], np.asarray(d["text"]), atol=1e-6)
+            np.testing.assert_array_equal(h["padding_mask"], np.asarray(d["padding_mask"]))
+
+    def test_shuffle_and_coverage(self):
+        from mer_tpu.data import DeviceFusionBatcher
+
+        ds = SyntheticFusionDataset(n_dialogues=19, d_text=4, d_audio=4, seed=12)
+        dev = DeviceFusionBatcher(ds, batch_size=4, shuffle=True, seed=5)
+        labels = np.concatenate([np.asarray(b["emotion"])[np.asarray(b["emotion"]) != -1] for b in dev])
+        np.testing.assert_array_equal(np.sort(labels), np.sort(ds.get_labels()))
+
+    def test_trains_with_solver(self, tmp_path):
+        from mer_tpu.core import Config
+        from mer_tpu.data import DeviceFusionBatcher
+        from mer_tpu.models import M2FNet
+        from mer_tpu.train import Solver
+
+        cfg = Config(
+            {
+                "checkpoint": {"save_checkpoint": False},
+                "solver": {
+                    "lr": 1e-3, "weight_decay": 0.0, "epochs": 2,
+                    "scheduler": {"enabled": False}, "early_stopping": {"enabled": False},
+                },
+                "wandb": {"enabled": False},
+                "tpu": {"seed": 0},
+            }
+        )
+        model = M2FNet(
+            d_model_audio=8, d_model_text=8, d_model_fam=8,
+            n_head_audio=2, n_head_text=2, n_head_fam=2,
+            n_layers_audio=1, n_layers_text=1, n_layers_fam=1,
+            hidden_size_classifier=8,
+        )
+        ds = SyntheticFusionDataset(n_dialogues=16, d_text=8, d_audio=8, seed=13)
+        train_b = DeviceFusionBatcher(ds, batch_size=8, shuffle=True)
+        val_b = DeviceFusionBatcher(ds, batch_size=8)
+        solver = Solver(model, cfg)
+        state, history = solver.fit(train_b, val_b)
+        assert history["loss_values"][-1] < history["loss_values"][0]
