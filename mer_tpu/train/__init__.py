@@ -1,4 +1,4 @@
-from mer_tpu.train.checkpoint import load_checkpoint, restore_into, save_checkpoint
+from mer_tpu.train.checkpoint import AsyncCheckpointer, load_checkpoint, restore_into, save_checkpoint
 from mer_tpu.train.fe_solver import FESolver
 from mer_tpu.train.mel_solver import MelSolver
 from mer_tpu.train.solver import (
@@ -22,6 +22,7 @@ __all__ = [
     "constant_with_warmup",
     "optimizer_from_config",
     "save_checkpoint",
+    "AsyncCheckpointer",
     "load_checkpoint",
     "restore_into",
 ]

@@ -14,6 +14,7 @@ src/train.py:186-210.
 from __future__ import annotations
 
 import os
+import threading
 from typing import Any
 
 import jax
@@ -34,6 +35,57 @@ def save_checkpoint(path: str | os.PathLike, *, epoch: int, params: Any, opt_sta
         "opt_state": serialization.to_state_dict(_host(opt_state)) if opt_state is not None else {},
         "extra": extra or {},
     }
+    _write_payload(path, payload)
+
+
+class AsyncCheckpointer:
+    """Non-blocking checkpoint writes.
+
+    ``save`` snapshots the (device) pytrees to host synchronously — cheap
+    next to serialization+disk — then serializes and writes in a background
+    thread, so the train loop never stalls on a multi-GB epoch save.  Writes
+    to the same path are serialized in submission order (single worker);
+    ``wait()`` drains pending writes (called before reads and at shutdown).
+    """
+
+    def __init__(self):
+        self._lock = threading.Lock()
+        self._pending: "threading.Thread | None" = None
+        self._error: BaseException | None = None
+
+    def save(self, path, *, epoch, params, opt_state=None, extra=None) -> None:
+        # snapshot with copies: host-numpy leaves must be isolated from
+        # caller mutation while the background write is in flight
+        copy = lambda tree: jax.tree.map(lambda x: np.array(jax.device_get(x)), tree)
+        snapshot = {
+            "epoch": np.int64(epoch),
+            "params": serialization.to_state_dict(copy(params)),
+            "opt_state": serialization.to_state_dict(copy(opt_state)) if opt_state is not None else {},
+            "extra": extra or {},
+        }
+        self.wait()  # one in-flight write at a time keeps ordering trivial
+
+        def _write():
+            try:
+                _write_payload(path, snapshot)
+            except BaseException as e:  # surfaced on the next wait()
+                self._error = e
+
+        with self._lock:
+            self._pending = threading.Thread(target=_write, daemon=True)
+            self._pending.start()
+
+    def wait(self) -> None:
+        with self._lock:
+            t, self._pending = self._pending, None
+        if t is not None:
+            t.join()
+        if self._error is not None:
+            err, self._error = self._error, None
+            raise err
+
+
+def _write_payload(path, payload: dict) -> None:
     path = os.path.abspath(os.fspath(path))
     os.makedirs(os.path.dirname(path), exist_ok=True)
     blob = serialization.msgpack_serialize(payload)

@@ -36,7 +36,7 @@ from mer_tpu.data.prefetch import prefetch
 from mer_tpu.objectives.classification import cross_entropy
 from mer_tpu.objectives.metrics import BatchAveragedMetrics
 from mer_tpu.parallel.mesh import batch_sharding, m2fnet_param_specs, replicated, shard_params
-from mer_tpu.train.checkpoint import load_checkpoint, restore_into, save_checkpoint
+from mer_tpu.train.checkpoint import AsyncCheckpointer, load_checkpoint, restore_into, save_checkpoint
 from mer_tpu.utils.logging import RunLogger
 
 
@@ -272,6 +272,8 @@ class Solver:
 
         rng = jax.random.PRNGKey(self.seed + 1)
         history: dict[str, list] = {"loss_values": [], "val_loss_values": []}
+        # background checkpoint writes (multi-GB at full size) never stall epochs
+        ckpt_writer = AsyncCheckpointer() if bool(cfg.get_path("tpu.async_checkpoint", True)) else None
 
         for epoch in range(start_epoch, epochs):
             t0 = time.perf_counter()
@@ -289,7 +291,10 @@ class Solver:
                 }
 
             if save_ckpt:
-                save_checkpoint(save_path, epoch=epoch, params=state.params, opt_state=state.opt_state, extra=_extra())
+                if ckpt_writer is not None:
+                    ckpt_writer.save(save_path, epoch=epoch, params=state.params, opt_state=state.opt_state, extra=_extra())
+                else:
+                    save_checkpoint(save_path, epoch=epoch, params=state.params, opt_state=state.opt_state, extra=_extra())
 
             lr = float(self._schedule(state.step - 1)) if self._schedule else float(solver_cfg.lr)
             self.logger.log_epoch(
@@ -304,11 +309,16 @@ class Solver:
                     min_loss_val = loss_val
                     patience_counter = 0
                     if restore_best:
-                        save_checkpoint(best_path, epoch=epoch, params=state.params, opt_state=state.opt_state, extra=_extra())
+                        if ckpt_writer is not None:
+                            ckpt_writer.save(best_path, epoch=epoch, params=state.params, opt_state=state.opt_state, extra=_extra())
+                        else:
+                            save_checkpoint(best_path, epoch=epoch, params=state.params, opt_state=state.opt_state, extra=_extra())
                 else:
                     patience_counter += 1
                     if patience_counter >= patience:
                         self.logger.print(f"Early stopping: patience {patience} reached")
+                        if ckpt_writer is not None:
+                            ckpt_writer.wait()  # best_path must be fully on disk
                         if restore_best and os.path.exists(best_path):
                             best = load_checkpoint(best_path)
                             state = state.replace(params=restore_into(state.params, best["params"]))
@@ -321,6 +331,8 @@ class Solver:
                             self.logger.print(f"Best model at epoch {best['epoch']} restored")
                         break
 
+        if ckpt_writer is not None:
+            ckpt_writer.wait()
         self.logger.finish()
         return state, history
 

@@ -183,3 +183,51 @@ class TestCheckpointRoundtrip:
         assert out["epoch"] == 7
         np.testing.assert_array_equal(out["params"]["dense"]["kernel"], params["dense"]["kernel"])
         assert out["extra"]["min_loss_val"] == 0.5
+
+
+class TestAsyncCheckpointer:
+    def test_write_and_read(self, tmp_path):
+        from mer_tpu.train import AsyncCheckpointer
+
+        w = AsyncCheckpointer()
+        params = {"k": np.arange(4, dtype=np.float32)}
+        path = tmp_path / "a.ckpt"
+        w.save(path, epoch=3, params=params, extra={"x": 1})
+        w.wait()
+        out = load_checkpoint(path)
+        assert out["epoch"] == 3 and out["extra"]["x"] == 1
+        np.testing.assert_array_equal(out["params"]["k"], params["k"])
+
+    def test_snapshot_isolated_from_mutation(self, tmp_path):
+        """The write must capture the values at save() time even if the
+        caller's arrays change afterwards."""
+        from mer_tpu.train import AsyncCheckpointer
+
+        w = AsyncCheckpointer()
+        arr = np.zeros(4, dtype=np.float32)
+        path = tmp_path / "b.ckpt"
+        w.save(path, epoch=0, params={"k": arr})
+        arr[:] = 99.0
+        w.wait()
+        np.testing.assert_array_equal(load_checkpoint(path)["params"]["k"], 0.0)
+
+    def test_error_propagates_on_wait(self, tmp_path):
+        from mer_tpu.train import AsyncCheckpointer
+
+        blocker = tmp_path / "not_a_dir"
+        blocker.write_text("file, not dir")
+        w = AsyncCheckpointer()
+        with pytest.raises(Exception):
+            # parent path is a file -> the background write must fail
+            w.save(str(blocker / "sub" / "c.ckpt"), epoch=0, params={"k": np.zeros(1)})
+            w.wait()
+
+    def test_sequential_saves_latest_wins(self, tmp_path):
+        from mer_tpu.train import AsyncCheckpointer
+
+        w = AsyncCheckpointer()
+        path = tmp_path / "d.ckpt"
+        for e in range(5):
+            w.save(path, epoch=e, params={"k": np.full(2, e, np.float32)})
+        w.wait()
+        assert load_checkpoint(path)["epoch"] == 4
