@@ -66,12 +66,13 @@ def dot_product_attention(
 
 
 def _should_use_pallas(q: jnp.ndarray, dropout_rate: float, deterministic: bool) -> bool:
-    # Measured on v5e (bf16, h8-12, dh64): XLA's attention fusion wins at the
-    # standard encoder lengths (s=512: 0.81 ms vs 1.05 ms) but the fused
-    # kernel wins on long sequences where XLA materializes [S, S]
-    # (s=2048: 1.95 vs 2.19 ms; s=4096: 3.72 vs 5.00 ms) — the long-audio
-    # streaming axis. Auto-dispatch follows those measurements; set
-    # MER_TPU_FLASH_ATTENTION=1 to force the kernel, =0 to force XLA.
+    # Measured on v5e (bf16, h8-12, dh64), execution-verified timings:
+    #   s=512:   XLA 0.81 ms  | pallas 1.05 ms   -> XLA
+    #   s=2048:  XLA 2.19 ms  | pallas 1.95 ms   -> pallas (single-pass)
+    #   s=4096:  XLA 5.00 ms  | pallas 3.72 ms   -> pallas (single-pass)
+    #   s=8192:  XLA 10.1 ms  | pallas-stream 14.2 ms -> XLA (its own fusion streams)
+    # Auto-dispatch uses the kernel only in its measured win zone
+    # [2048, 4096]; MER_TPU_FLASH_ATTENTION=1 forces it, =0 forces XLA.
     import os
 
     force = os.environ.get("MER_TPU_FLASH_ATTENTION")
@@ -86,11 +87,11 @@ def _should_use_pallas(q: jnp.ndarray, dropout_rate: float, deterministic: bool)
     if backend != "tpu":
         return False
     sq, dh = q.shape[-2], q.shape[-1]
-    if dh % 8 != 0 or sq > 8192:  # >8192 keys would exceed VMEM (needs K streaming)
+    if dh % 8 != 0:
         return False
     if force == "1":
         return sq >= 128
-    return sq >= 2048
+    return 2048 <= sq <= 4096
 
 
 def _attention_reference(

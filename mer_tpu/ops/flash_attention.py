@@ -25,6 +25,8 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 BLOCK_Q = 128
+BLOCK_K = 512          # streaming kernel's K/V tile
+STREAM_THRESHOLD = 4096  # above this many keys, stream K/V with online softmax
 _NEG_INF = -1e30
 
 
@@ -104,13 +106,83 @@ def _flash_bwd(interpret, residuals, g):
 _flash_core.defvjp(_flash_fwd, _flash_bwd)
 
 
-def _flash_impl(q, k, v, key_bias, interpret=False) -> jnp.ndarray:
+def _stream_kernel(q_ref, k_ref, v_ref, bias_ref, out_ref, m_ref, l_ref, acc_ref, *, scale: float):
+    """Online-softmax flash attention: one (bh, q-block) accumulates across
+    the k-block grid axis; m/l/acc scratch persists across those steps."""
+    ki = pl.program_id(2)
+    n_k = pl.num_programs(2)
+
+    @pl.when(ki == 0)
+    def _():
+        m_ref[:] = jnp.full_like(m_ref, _NEG_INF)
+        l_ref[:] = jnp.zeros_like(l_ref)
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    q = q_ref[0]        # [BQ, D]
+    kb = k_ref[0]       # [BK, D]
+    vb = v_ref[0]       # [BK, D]
+    bias = bias_ref[0]  # [1, BK]
+
+    s = jax.lax.dot_general(
+        q * scale, kb,
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ) + bias  # [BQ, BK]
+
+    m_prev = m_ref[:, :1]                       # [BQ, 1]
+    m_new = jnp.maximum(m_prev, jnp.max(s, axis=-1, keepdims=True))
+    p = jnp.exp(s - m_new)                      # [BQ, BK]
+    alpha = jnp.exp(m_prev - m_new)             # [BQ, 1]
+
+    l_new = l_ref[:, :1] * alpha + jnp.sum(p, axis=-1, keepdims=True)
+    acc_ref[:] = acc_ref[:] * alpha + jnp.dot(
+        p.astype(vb.dtype), vb, preferred_element_type=jnp.float32
+    )
+    m_ref[:] = jnp.broadcast_to(m_new, m_ref.shape)
+    l_ref[:] = jnp.broadcast_to(l_new, l_ref.shape)
+
+    @pl.when(ki == n_k - 1)
+    def _():
+        out_ref[0] = (acc_ref[:] / jnp.maximum(l_ref[:, :1], 1e-30)).astype(out_ref.dtype)
+
+
+def _flash_stream(qp, kp, vp, bias, sq_p, sk_p, dh_p, scale, q_dtype, interpret):
+    """Streaming path: K/V visited in BLOCK_K tiles, VMEM holds one tile."""
+    bh = qp.shape[0]
+    grid = (bh, sq_p // BLOCK_Q, sk_p // BLOCK_K)
+    return pl.pallas_call(
+        functools.partial(_stream_kernel, scale=scale),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, BLOCK_Q, dh_p), lambda i, j, t: (i, j, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, BLOCK_K, dh_p), lambda i, j, t: (i, t, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, BLOCK_K, dh_p), lambda i, j, t: (i, t, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, BLOCK_K), lambda i, j, t: (i, 0, t), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, BLOCK_Q, dh_p), lambda i, j, t: (i, j, 0), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((bh, sq_p, dh_p), q_dtype),
+        scratch_shapes=[
+            pltpu.VMEM((BLOCK_Q, 128), jnp.float32),   # running max m
+            pltpu.VMEM((BLOCK_Q, 128), jnp.float32),   # running denom l
+            pltpu.VMEM((BLOCK_Q, dh_p), jnp.float32),  # output accumulator
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=2 * bh * sq_p * sk_p * dh_p * 2,
+            bytes_accessed=(qp.size + kp.size + vp.size) * 4,
+            transcendentals=bh * sq_p * sk_p,
+        ),
+        interpret=interpret,
+    )(qp, kp, vp, bias)
+
+
+def _flash_impl(q, k, v, key_bias, interpret=False, force_stream: bool | None = None) -> jnp.ndarray:
     b, h, sq, dh = q.shape
     sk = k.shape[2]
     scale = 1.0 / math.sqrt(dh)
 
+    stream = force_stream if force_stream is not None else sk > STREAM_THRESHOLD
     sq_p = _round_up(sq, BLOCK_Q)
-    sk_p = _round_up(sk, 128)
+    sk_p = _round_up(sk, BLOCK_K if stream else 128)
     dh_p = _round_up(dh, 128)
 
     qp = jnp.pad(q, ((0, 0), (0, 0), (0, sq_p - sq), (0, dh_p - dh))).reshape(b * h, sq_p, dh_p)
@@ -121,6 +193,10 @@ def _flash_impl(q, k, v, key_bias, interpret=False) -> jnp.ndarray:
     bias = jnp.pad(key_bias.astype(jnp.float32), ((0, 0), (0, sk_p - sk)), constant_values=_NEG_INF)
     bias = bias[:, None, :]
     bias = jnp.broadcast_to(bias[:, None], (b, h, 1, sk_p)).reshape(b * h, 1, sk_p)
+
+    if stream:
+        out = _flash_stream(qp, kp, vp, bias, sq_p, sk_p, dh_p, scale, q.dtype, interpret)
+        return out.reshape(b, h, sq_p, dh_p)[:, :, :sq, :dh]
 
     grid = (b * h, sq_p // BLOCK_Q)
     out = pl.pallas_call(

@@ -77,3 +77,36 @@ class TestFlashAttentionGrad:
         g2 = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
         for a, b in zip(g1, g2):
             np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-3, atol=1e-4)
+
+
+class TestStreamingKernel:
+    """K/V-streaming online-softmax path (used above STREAM_THRESHOLD keys)."""
+
+    def _bias(self, mask):
+        return jnp.where(mask, -1e30, 0.0).astype(jnp.float32)
+
+    @pytest.mark.parametrize("sk", [512, 1024, 1300])
+    def test_matches_reference(self, sk):
+        from mer_tpu.ops.flash_attention import _flash_impl
+
+        q, _, _ = _qkv(b=1, h=2, sq=256, sk=256, dh=32, seed=10)
+        _, k, v = _qkv(b=1, h=2, sq=sk, sk=sk, dh=32, seed=11)
+        rng = np.random.default_rng(12)
+        mask = rng.random((1, sk)) < 0.25
+        mask[:, 0] = False
+        mask_j = jnp.asarray(mask)
+
+        ref = _attention_reference(
+            q, k, v, key_padding_mask=mask_j, dropout_rate=0.0, dropout_rng=None, deterministic=True
+        )
+        got = _flash_impl(q, k, v, self._bias(mask_j), interpret=True, force_stream=True)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=2e-4, atol=2e-4)
+
+    def test_stream_equals_single_pass(self):
+        from mer_tpu.ops.flash_attention import _flash_impl
+
+        q, k, v = _qkv(b=2, h=2, sq=128, sk=1024, dh=64, seed=13)
+        bias = jnp.zeros((2, 1024), jnp.float32)
+        single = _flash_impl(q, k, v, bias, interpret=True, force_stream=False)
+        stream = _flash_impl(q, k, v, bias, interpret=True, force_stream=True)
+        np.testing.assert_allclose(np.asarray(stream), np.asarray(single), rtol=2e-4, atol=2e-4)
