@@ -16,7 +16,6 @@ Layout is [B, H, S, Dh] inside the op; callers reshape.
 
 from __future__ import annotations
 
-import functools
 import math
 
 import jax

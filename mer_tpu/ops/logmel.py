@@ -31,7 +31,6 @@ Implementation notes:
 
 from __future__ import annotations
 
-import math
 from dataclasses import dataclass
 from functools import partial
 

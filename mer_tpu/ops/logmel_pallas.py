@@ -21,7 +21,6 @@ The reference's equivalent is host-side librosa (audio_mel/dataset.py:95-98)
 from __future__ import annotations
 
 import functools
-import math
 
 import jax
 import jax.numpy as jnp

@@ -23,7 +23,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from mer_tpu.data.fusion import DEFAULT_LENGTH_BUCKETS, FusionBatcher, collate_dialogues
+from mer_tpu.data.fusion import DEFAULT_LENGTH_BUCKETS, collate_dialogues
 from mer_tpu.models.m2fnet import M2FNet
 from mer_tpu.models.roberta import TextERC
 from mer_tpu.models.wav2vec2 import AudioERC

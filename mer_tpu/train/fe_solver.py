@@ -36,7 +36,7 @@ from mer_tpu.data.prefetch import prefetch
 from mer_tpu.objectives.classification import cross_entropy
 from mer_tpu.objectives.metrics import BatchAveragedMetrics
 from mer_tpu.train.checkpoint import load_checkpoint, restore_into, save_checkpoint
-from mer_tpu.train.solver import TrainState, constant_with_warmup, torch_adamw
+from mer_tpu.train.solver import constant_with_warmup, torch_adamw
 from mer_tpu.utils.logging import RunLogger
 
 

@@ -35,7 +35,7 @@ from flax import struct
 from mer_tpu.data.prefetch import prefetch
 from mer_tpu.objectives.classification import cross_entropy
 from mer_tpu.objectives.metrics import BatchAveragedMetrics
-from mer_tpu.parallel.mesh import batch_sharding, m2fnet_param_specs, replicated, shard_params
+from mer_tpu.parallel.mesh import batch_sharding, shard_params
 from mer_tpu.train.checkpoint import AsyncCheckpointer, load_checkpoint, restore_into, save_checkpoint
 from mer_tpu.utils.logging import RunLogger
 
