@@ -11,7 +11,9 @@ with an on-device XLA/Pallas implementation.  Exact recipe being reproduced:
             fmin=0, fmax=None, htk=False, norm=1).T
     out = log(S + eps)                         # eps = np.finfo(float).eps
     out = (out - out.min()) / (out.max() - out.min())   # per clip
-    out = round(out * 255) / 255               # PNG uint8 cache quantization
+    out = floor(out * 255) / 255               # PNG uint8 cache quantization
+                                               # (uint8 cast truncates, it does
+                                               # not round — reference parity)
     pad frames to 1001, replicate to 3 channels -> [3, 1001, 128]
 
 Implementation notes:

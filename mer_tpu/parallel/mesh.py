@@ -170,6 +170,8 @@ def pad_batch_to_dp(batch: dict, dp: int) -> dict:
         pad_block = np.zeros((rem,) + x.shape[1:], dtype=x.dtype)
         if x.dtype.kind in "iu":  # labels: pad with -1 (ignored)
             pad_block[...] = -1
+        elif x.dtype.kind == "b":  # masks: True=pad everywhere else in the repo
+            pad_block[...] = True
         return np.concatenate([x, pad_block], axis=0)
 
     out = {k: _pad(v) for k, v in batch.items()}

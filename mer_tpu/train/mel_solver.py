@@ -55,6 +55,10 @@ class MelSolver:
         # BatchNorm runs in eval stats (the reference quirk, see
         # models/resnet.py); stats are captured at init and stay constant.
         self._batch_stats: dict = {}
+        # persistent miners (one per dataset) — the sampler RNG must advance
+        # across steps, never reset (see _miner)
+        self._miners: dict = {}
+        self._mining_params = None
 
         def _apply(params, x):
             return self.model.apply({"params": params, "batch_stats": self._batch_stats}, x)
@@ -108,15 +112,25 @@ class MelSolver:
         return TrainState(params=params, opt_state=opt_state, step=jnp.zeros((), jnp.int32))
 
     def _miner(self, dataset, params) -> TripletMiner:
-        def embed_fn(indices):
-            spec = dataset.spectrogram_batch(np.asarray(indices))
-            return self._embed(params, spec)
+        """Persistent per-dataset miner whose sampler RNG advances across
+        steps/epochs (reference parity: global torch/np random state advances
+        every `df.sample()`, audio_mel/dataset.py:202-358). The embed_fn reads
+        ``self._mining_params`` so one miner serves every step's params."""
+        self._mining_params = params
+        key = id(dataset)
+        miner = self._miners.get(key)
+        if miner is None:
+            def embed_fn(indices):
+                spec = dataset.spectrogram_batch(np.asarray(indices))
+                return self._embed(self._mining_params, spec)
 
-        return TripletMiner(
-            dataset.get_labels(), embed_fn,
-            len_triplet_picking=int(self.config.solver.len_triplet_picking),
-            seed=self.seed,
-        )
+            miner = TripletMiner(
+                dataset.get_labels(), embed_fn,
+                len_triplet_picking=int(self.config.solver.len_triplet_picking),
+                seed=self.seed + len(self._miners),
+            )
+            self._miners[key] = miner
+        return miner
 
     def _fetch_triplet_batch(self, dataset, a, p, n, key=None) -> jnp.ndarray:
         idx = np.concatenate([a, p, n])

@@ -76,10 +76,11 @@ def exponential_lr(base_lr: float, gamma: float, steps_per_epoch: int) -> Callab
 
 
 def constant_with_warmup(base_lr: float, warmup_steps: int) -> Callable[[jnp.ndarray], jnp.ndarray]:
-    """HF get_constant_schedule_with_warmup parity (text/train.py:84)."""
+    """HF get_constant_schedule_with_warmup parity (text/train.py:84):
+    lr factor is step/warmup — the FIRST optimizer step runs at lr=0."""
 
     def schedule(step):
-        frac = jnp.minimum((step + 1) / jnp.maximum(warmup_steps, 1), 1.0)
+        frac = jnp.minimum(step / jnp.maximum(warmup_steps, 1), 1.0)
         return base_lr * frac
 
     return schedule

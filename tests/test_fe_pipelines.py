@@ -214,6 +214,28 @@ class TestMelPipeline:
         np.testing.assert_allclose(np.linalg.norm(emb, axis=1), 1.0, rtol=1e-4)
 
 
+class TestMinerAdvances:
+    def test_mining_rng_advances_across_steps(self, meld_like_root_with_wavs, tmp_path):
+        """Regression: the solver must reuse ONE miner so the sampler RNG
+        advances — a fresh fixed-seed miner per step would mine the identical
+        candidate pool every step (reference advances global random state,
+        audio_mel/dataset.py:202-358)."""
+        root, _ = meld_like_root_with_wavs
+        cfg = _mel_config(tmp_path, root, epochs=1)
+        train_ds = MelFeatureDataset("train", cfg, data_root=root)
+        val_ds = MelFeatureDataset("val", cfg, data_root=root)
+        solver = MelSolver(AudioMelFeatureExtractor(embedding_size=16), cfg, train_ds, val_ds, seed=0)
+        state = solver.init_state()
+        m1 = solver._miner(train_ds, state.params)
+        t1 = m1.mine(4, "random")
+        m2 = solver._miner(train_ds, state.params)
+        assert m2 is m1  # persistent, not re-created
+        t2 = m2.mine(4, "random")
+        assert any(not np.array_equal(a, b) for a, b in zip(t1, t2)), (
+            "two consecutive mining calls returned identical triplets — RNG reset"
+        )
+
+
 class TestStageChaining:
     """Full pipeline contract: stage-1 training + export feeds stage-2 fusion
     through the on-disk artifact layout (reference C24->C25->C27->C29)."""

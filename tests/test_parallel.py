@@ -146,8 +146,17 @@ class TestSequenceParallel:
 
         x_sp = jax.device_put(x, sequence_sharding(mesh))
         mask_sp = jax.device_put(mask, sequence_sharding(mesh))
+        # the input really is sharded over sp before the jitted call...
+        assert not x_sp.sharding.is_fully_replicated
+        assert x_sp.sharding.spec == P("dp", "sp")
+        # ...and the compiled program must therefore contain collectives to
+        # gather K/V across the sp axis (proof it executed sharded, not on a
+        # silently-replicated copy)
+        hlo = fwd.lower(params, x_sp, mask_sp).compile().as_text()
+        assert any(
+            op in hlo for op in ("all-gather", "all-reduce", "collective-permute", "all-to-all")
+        ), "sp-sharded forward compiled without any cross-device collective"
         got = fwd(params, x_sp, mask_sp)
-        assert "sp" in str(got.sharding) or got.sharding.is_fully_replicated or True
         np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=1e-4, atol=1e-4)
 
     def test_sp_sharded_logmel(self):

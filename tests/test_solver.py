@@ -77,8 +77,24 @@ class TestOptimizerParity:
         assert float(sched(25)) == 0.25
 
     def test_constant_with_warmup(self):
+        # HF get_constant_schedule_with_warmup: factor = step/warmup, so the
+        # first optimizer step runs at lr=0 (reference text/train.py:84)
         sched = constant_with_warmup(1.0, warmup_steps=4)
-        np.testing.assert_allclose([float(sched(i)) for i in range(6)], [0.25, 0.5, 0.75, 1.0, 1.0, 1.0])
+        np.testing.assert_allclose([float(sched(i)) for i in range(6)], [0.0, 0.25, 0.5, 0.75, 1.0, 1.0])
+
+    def test_constant_with_warmup_matches_hf(self):
+        torch = pytest.importorskip("torch")
+        transformers = pytest.importorskip("transformers")
+        opt = torch.optim.AdamW([torch.nn.Parameter(torch.zeros(1))], lr=1.0)
+        hf = transformers.get_constant_schedule_with_warmup(opt, num_warmup_steps=5)
+        ours = constant_with_warmup(1.0, warmup_steps=5)
+        got, want = [], []
+        for step in range(8):
+            want.append(hf.get_last_lr()[0])
+            got.append(float(ours(step)))
+            opt.step()
+            hf.step()
+        np.testing.assert_allclose(got, want)
 
 
 def _solver_config(tmp_path, epochs=3, patience=2):
