@@ -135,14 +135,18 @@ class DeviceFusionBatcher:
     """
 
     def __init__(self, dataset, batch_size: int, shuffle: bool = False, seed: int = 0,
-                 buckets: tuple[int, ...] = DEFAULT_LENGTH_BUCKETS, sort_by_length: bool = True):
+                 buckets: tuple[int, ...] = DEFAULT_LENGTH_BUCKETS, sort_by_length: bool = True,
+                 process_index: int | None = None, process_count: int | None = None):
         import jax
         import jax.numpy as jnp
+
+        from mer_tpu.data.process_sharding import resolve_process
 
         self.batch_size = batch_size
         self.shuffle = shuffle
         self.buckets = tuple(buckets)
         self.sort_by_length = sort_by_length
+        self.process_index, self.process_count = resolve_process(process_index, process_count)
         self._rng = np.random.default_rng(seed)
 
         n = len(dataset)
@@ -180,9 +184,14 @@ class DeviceFusionBatcher:
         self._gather = gather
 
     def __len__(self) -> int:
-        return (self._n + self.batch_size - 1) // self.batch_size
+        from mer_tpu.data.process_sharding import local_num_batches
+
+        n_global = (self._n + self.batch_size - 1) // self.batch_size
+        return local_num_batches(n_global, self.process_index, self.process_count)
 
     def __iter__(self):
+        from mer_tpu.data.process_sharding import shard_batches
+
         order = np.arange(self._n)
         if self.shuffle:
             self._rng.shuffle(order)
@@ -191,6 +200,7 @@ class DeviceFusionBatcher:
         batches = [order[i : i + self.batch_size] for i in range(0, self._n, self.batch_size)]
         if self.shuffle:
             self._rng.shuffle(batches)
+        batches = shard_batches(batches, self.process_index, self.process_count)
         import jax.numpy as jnp
 
         for idxs in batches:
@@ -219,22 +229,34 @@ class FusionBatcher:
         buckets: tuple[int, ...] = DEFAULT_LENGTH_BUCKETS,
         sort_by_length: bool = True,
         drop_last: bool = False,
+        process_index: int | None = None,
+        process_count: int | None = None,
     ):
+        from mer_tpu.data.process_sharding import resolve_process
+
         self.dataset = dataset
         self.batch_size = batch_size
         self.shuffle = shuffle
         self.buckets = tuple(buckets)
         self.sort_by_length = sort_by_length
         self.drop_last = drop_last
+        self.process_index, self.process_count = resolve_process(process_index, process_count)
         self._rng = np.random.default_rng(seed)
 
-    def __len__(self) -> int:
+    def _global_len(self) -> int:
         n = len(self.dataset)
         if self.drop_last:
             return n // self.batch_size
         return (n + self.batch_size - 1) // self.batch_size
 
+    def __len__(self) -> int:
+        from mer_tpu.data.process_sharding import local_num_batches
+
+        return local_num_batches(self._global_len(), self.process_index, self.process_count)
+
     def __iter__(self):
+        from mer_tpu.data.process_sharding import shard_batches
+
         n = len(self.dataset)
         order = np.arange(n)
         if self.shuffle:
@@ -249,6 +271,9 @@ class FusionBatcher:
             batches = batches[:-1]
         if self.shuffle:
             self._rng.shuffle(batches)
+        # multi-host: every process computed the identical list (seeded RNG);
+        # each takes its disjoint round-robin slice
+        batches = shard_batches(batches, self.process_index, self.process_count)
 
         for idxs in batches:
             yield collate_dialogues(

@@ -1,0 +1,49 @@
+"""Process-indexed data sharding for multi-host training.
+
+The reference is single-process (SURVEY.md §2.2 — no torch.distributed
+anywhere); on a TPU pod every host runs the same program and must feed its
+own addressable devices a DISJOINT slice of the data.  Every batcher accepts
+``process_index`` / ``process_count`` (defaulting to the live
+``jax.process_index()`` / ``jax.process_count()``) and applies the same rule:
+
+- all processes build the IDENTICAL global batch list (same seed, same
+  shuffle — the per-instance RNGs are seeded, never drawn from global state),
+- each process then takes the round-robin slice ``batches[index::count]``.
+
+Disjointness and exhaustiveness are structural (a partition of the list) and
+unit-tested in tests/test_data.py::TestProcessSharding.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence, TypeVar
+
+T = TypeVar("T")
+
+
+def resolve_process(process_index: int | None, process_count: int | None) -> tuple[int, int]:
+    """Fill in defaults from the live jax runtime; validate."""
+    if process_count is None or process_index is None:
+        import jax
+
+        if process_count is None:
+            process_count = jax.process_count()
+        if process_index is None:
+            process_index = jax.process_index()
+    process_index = int(process_index)
+    process_count = int(process_count)
+    if process_count < 1:
+        raise ValueError(f"process_count must be >= 1, got {process_count}")
+    if not 0 <= process_index < process_count:
+        raise ValueError(f"process_index {process_index} out of range for {process_count} processes")
+    return process_index, process_count
+
+
+def shard_batches(batches: Sequence[T], process_index: int, process_count: int) -> list[T]:
+    """This process's round-robin slice of the global batch list."""
+    return list(batches[process_index::process_count])
+
+
+def local_num_batches(global_batches: int, process_index: int, process_count: int) -> int:
+    """len(shard_batches(range(global_batches), ...)) without materializing."""
+    return (global_batches - process_index + process_count - 1) // process_count

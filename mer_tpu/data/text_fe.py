@@ -97,15 +97,22 @@ class TextBatcher:
     """Fixed-shape token batches over a TextFeatureDataset."""
 
     def __init__(self, dataset: TextFeatureDataset, batch_size: int, shuffle: bool = False,
-                 seed: int = 0, buckets: tuple[int, ...] = TOKEN_BUCKETS):
+                 seed: int = 0, buckets: tuple[int, ...] = TOKEN_BUCKETS,
+                 process_index: int | None = None, process_count: int | None = None):
+        from mer_tpu.data.process_sharding import resolve_process
+
         self.dataset = dataset
         self.batch_size = batch_size
         self.shuffle = shuffle
         self.buckets = buckets
+        self.process_index, self.process_count = resolve_process(process_index, process_count)
         self._rng = np.random.default_rng(seed)
 
     def __len__(self) -> int:
-        return (len(self.dataset) + self.batch_size - 1) // self.batch_size
+        from mer_tpu.data.process_sharding import local_num_batches
+
+        n_global = (len(self.dataset) + self.batch_size - 1) // self.batch_size
+        return local_num_batches(n_global, self.process_index, self.process_count)
 
     def _bucket(self, longest: int) -> int:
         for b in self.buckets:
@@ -114,11 +121,14 @@ class TextBatcher:
         return self.buckets[-1]
 
     def __iter__(self):
+        from mer_tpu.data.process_sharding import shard_batches
+
         n = len(self.dataset)
         order = np.arange(n)
         if self.shuffle:
             self._rng.shuffle(order)
-        for i in range(0, n, self.batch_size):
+        starts = shard_batches(range(0, n, self.batch_size), self.process_index, self.process_count)
+        for i in starts:
             idx = order[i : i + self.batch_size]
             # pad the trailing partial batch with repeats labeled -1
             pad = self.batch_size - len(idx)

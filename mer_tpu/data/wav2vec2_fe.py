@@ -78,17 +78,24 @@ def w2v_batch_to_inputs(batch: dict):
 class Wav2Vec2Batcher:
     def __init__(self, dataset: Wav2Vec2FeatureDataset, batch_size: int, shuffle: bool = False,
                  seed: int = 0, seconds_buckets: tuple[float, ...] = SECONDS_BUCKETS,
-                 sort_by_length: bool = True, wire_dtype: str = "int16"):
+                 sort_by_length: bool = True, wire_dtype: str = "int16",
+                 process_index: int | None = None, process_count: int | None = None):
+        from mer_tpu.data.process_sharding import resolve_process
+
         self.dataset = dataset
         self.batch_size = batch_size
         self.shuffle = shuffle
         self.sort_by_length = sort_by_length
         self.buckets = tuple(int(s * dataset.sample_rate) for s in seconds_buckets)
         self.wire_dtype = wire_dtype
+        self.process_index, self.process_count = resolve_process(process_index, process_count)
         self._rng = np.random.default_rng(seed)
 
     def __len__(self) -> int:
-        return (len(self.dataset) + self.batch_size - 1) // self.batch_size
+        from mer_tpu.data.process_sharding import local_num_batches
+
+        n_global = (len(self.dataset) + self.batch_size - 1) // self.batch_size
+        return local_num_batches(n_global, self.process_index, self.process_count)
 
     def _bucket(self, longest: int) -> int:
         for b in self.buckets:
@@ -110,6 +117,9 @@ class Wav2Vec2Batcher:
         batches = [order[i : i + self.batch_size] for i in range(0, n, self.batch_size)]
         if self.shuffle:
             self._rng.shuffle(batches)
+        from mer_tpu.data.process_sharding import shard_batches
+
+        batches = shard_batches(batches, self.process_index, self.process_count)
         for idx in batches:
             pad = self.batch_size - len(idx)
             full_idx = np.concatenate([idx, idx[-1:].repeat(pad)]) if pad else idx

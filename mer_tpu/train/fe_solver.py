@@ -35,6 +35,7 @@ import optax
 from mer_tpu.data.prefetch import prefetch
 from mer_tpu.objectives.classification import cross_entropy
 from mer_tpu.objectives.metrics import BatchAveragedMetrics
+from mer_tpu.parallel.mesh import batch_sharding, replicated
 from mer_tpu.train.checkpoint import load_checkpoint, restore_into, save_checkpoint
 from mer_tpu.train.solver import constant_with_warmup, torch_adamw
 from mer_tpu.utils.logging import RunLogger
@@ -60,12 +61,14 @@ class FESolver:
         batch_to_inputs: Callable[[dict], tuple],
         class_weights: np.ndarray | None = None,
         seed: int = 0,
+        mesh=None,
     ):
         self.model = model
         self.config = config
         self.backbone_key = backbone_key
         self.batch_to_inputs = batch_to_inputs
         self.seed = seed
+        self.mesh = mesh
         self.logger = RunLogger(config)
 
         cw = None if class_weights is None else jnp.asarray(class_weights)
@@ -95,10 +98,21 @@ class FESolver:
     def _labels_tree(self, params):
         return {k: ("backbone" if k == self.backbone_key else "head") for k in params.keys()}
 
+    @property
+    def data_sharding(self):
+        """Batch-axis DP sharding when a mesh is supplied (the expensive FE
+        fine-tunes — 12-layer RoBERTa at 512 tokens, wav2vec2 waveforms — are
+        exactly where data parallelism pays; reference is single-device,
+        SURVEY.md §2.2)."""
+        return batch_sharding(self.mesh) if self.mesh is not None else None
+
     def init_state(self, example_batch: dict, steps_per_epoch: int):
         rng = jax.random.PRNGKey(self.seed)
         inputs = self.batch_to_inputs(jax.tree.map(jnp.asarray, example_batch))
         params = self.model.init({"params": rng}, *inputs)["params"]
+        if self.mesh is not None:
+            # params replicated over the mesh; GSPMD all-reduces grads over dp
+            params = jax.device_put(params, replicated(self.mesh))
 
         labels = self._labels_tree(params)
         self.opt_frozen = optax.multi_transform(
@@ -166,7 +180,7 @@ class FESolver:
         sync_every_step = self.logger.wants_step_logs
         losses = []
         total, batches = 0.0, 0
-        for batch in prefetch(batcher):
+        for batch in prefetch(batcher, sharding=self.data_sharding):
             state, loss = step_fn(state, batch, rng)
             batches += 1
             if sync_every_step:
@@ -182,7 +196,7 @@ class FESolver:
         params = jax.device_put(params)  # avoid per-call transfer of numpy trees
         metrics = BatchAveragedMetrics()
         total, batches = 0.0, 0
-        for batch in prefetch(batcher):
+        for batch in prefetch(batcher, sharding=self.data_sharding):
             loss, preds = self._eval_step(params, batch)
             emotion = np.asarray(batch["emotion"])
             metrics.update(emotion, np.asarray(preds), mask=emotion != -1)

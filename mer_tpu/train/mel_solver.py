@@ -35,12 +35,13 @@ from mer_tpu.utils.logging import RunLogger
 
 
 class MelSolver:
-    def __init__(self, model, config, data_train, data_val, seed: int = 0):
+    def __init__(self, model, config, data_train, data_val, seed: int = 0, mesh=None):
         self.model = model
         self.config = config
         self.data_train = data_train
         self.data_val = data_val
         self.seed = seed
+        self.mesh = mesh
         self.logger = RunLogger(config)
         self.loss_fn = make_embedding_loss(config)
         self.mining_type = str(config.get_path("solver.mining_type", "hard"))
@@ -102,6 +103,12 @@ class MelSolver:
         variables = self.model.init(jax.random.PRNGKey(self.seed), spec)
         params = variables["params"]
         self._batch_stats = variables.get("batch_stats", {})
+        if self.mesh is not None:
+            # replicate params/stats; the [3B] triplet batch shards over dp
+            from mer_tpu.parallel.mesh import replicated
+
+            params = jax.device_put(params, replicated(self.mesh))
+            self._batch_stats = jax.device_put(self._batch_stats, replicated(self.mesh))
         steps_per_epoch = len(self.data_train) // self.batch_size
         self._optimizer, self._schedule = optimizer_from_config(self.config.solver, steps_per_epoch)
         opt_state = self._optimizer.init(params)
@@ -134,7 +141,14 @@ class MelSolver:
 
     def _fetch_triplet_batch(self, dataset, a, p, n, key=None) -> jnp.ndarray:
         idx = np.concatenate([a, p, n])
-        return dataset.spectrogram_batch(idx, key=key)
+        spec = dataset.spectrogram_batch(idx, key=key)
+        if self.mesh is not None:
+            # shard the [3B, T, M, C] triplet batch over dp; params are
+            # replicated so GSPMD all-reduces the grads across the mesh
+            from mer_tpu.parallel.mesh import batch_sharding
+
+            spec = jax.device_put(spec, batch_sharding(self.mesh))
+        return spec
 
     # -- epochs ------------------------------------------------------------------
 

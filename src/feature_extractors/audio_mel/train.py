@@ -27,8 +27,18 @@ def main(argv=None):
     print(f"Loaded {len(data_train)} utterances for training")
     print(f"Loaded {len(data_val)} utterances for valing")
 
+    from mer_tpu.parallel import mesh_from_config
+
+    try:
+        mesh = mesh_from_config(config)
+    except ValueError:
+        mesh = None
+
     model = AudioMelFeatureExtractor()  # bn_mode="eval" = reference parity
-    solver = MelSolver(model, config, data_train, data_val, seed=int(config.get_path("tpu.seed", 0)))
+    solver = MelSolver(
+        model, config, data_train, data_val, seed=int(config.get_path("tpu.seed", 0)),
+        mesh=mesh if (mesh is not None and mesh.size > 1) else None,
+    )
 
     if bool(config.get_path("DEBUG.train", True)):
         print("Training...")

@@ -38,10 +38,18 @@ def main(argv=None):
         balanced_class_weights(data_train.get_labels()) if bool(config.solver.balance_classes) else None
     )
 
+    from mer_tpu.parallel import mesh_from_config
+
+    try:
+        mesh = mesh_from_config(config)
+    except ValueError:
+        mesh = None
+
     solver = FESolver(
         model, config, backbone_key="wav2vec2",
         batch_to_inputs=w2v_batch_to_inputs,
         class_weights=class_weights,
+        mesh=mesh if (mesh is not None and mesh.size > 1) else None,
     )
 
     example = next(iter(dl_train))

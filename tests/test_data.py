@@ -230,3 +230,101 @@ class TestDeviceFusionBatcher:
         solver = Solver(model, cfg)
         state, history = solver.fit(train_b, val_b)
         assert history["loss_values"][-1] < history["loss_values"][0]
+
+
+class TestProcessSharding:
+    """Multi-host data loading: every process must see a disjoint, exhaustive
+    round-robin shard of the identical global batch list
+    (mer_tpu/data/process_sharding.py)."""
+
+    def _coverage(self, make_batcher, n_processes, id_key="emotion"):
+        """Collect per-process batches; return (per-process id lists, union)."""
+        per_proc = []
+        for p in range(n_processes):
+            b = make_batcher(p, n_processes)
+            sigs = [bytes(np.asarray(batch[id_key]).tobytes()) for batch in b]
+            assert len(sigs) == len(b)  # __len__ reflects the local shard
+            per_proc.append(sigs)
+        return per_proc
+
+    def _assert_partition(self, per_proc, global_sigs):
+        flat = [s for sigs in per_proc for s in sigs]
+        assert len(flat) == len(set(flat)), "processes overlap"
+        assert sorted(flat) == sorted(global_sigs), "union != global batch list"
+
+    def test_fusion_batcher_partition(self):
+        ds = SyntheticFusionDataset(n_dialogues=37, d_text=8, d_audio=8, seed=0)
+        global_sigs = [
+            bytes(np.asarray(b["emotion"]).tobytes())
+            for b in FusionBatcher(ds, batch_size=4, shuffle=True, seed=9)
+        ]
+        per_proc = self._coverage(
+            lambda p, n: FusionBatcher(
+                ds, batch_size=4, shuffle=True, seed=9, process_index=p, process_count=n
+            ),
+            n_processes=4,
+        )
+        self._assert_partition(per_proc, global_sigs)
+
+    def test_device_fusion_batcher_partition(self):
+        from mer_tpu.data import DeviceFusionBatcher
+
+        ds = SyntheticFusionDataset(n_dialogues=21, d_text=8, d_audio=8, seed=1)
+        global_sigs = [
+            bytes(np.asarray(b["emotion"]).tobytes())
+            for b in DeviceFusionBatcher(ds, batch_size=4, shuffle=True, seed=9)
+        ]
+        per_proc = self._coverage(
+            lambda p, n: DeviceFusionBatcher(
+                ds, batch_size=4, shuffle=True, seed=9, process_index=p, process_count=n
+            ),
+            n_processes=3,
+        )
+        self._assert_partition(per_proc, global_sigs)
+
+    def test_text_batcher_partition(self, meld_like_root):
+        from mer_tpu.data import TextBatcher, TextFeatureDataset, ToyWhitespaceTokenizer
+
+        root, _ = meld_like_root
+        ds = TextFeatureDataset("train", ToyWhitespaceTokenizer(), data_root=root)
+        mk = lambda p, n: TextBatcher(
+            ds, batch_size=4, shuffle=True, seed=9, process_index=p, process_count=n
+        )
+        global_sigs = [
+            bytes(np.asarray(b["idx"]).tobytes())
+            for b in TextBatcher(ds, batch_size=4, shuffle=True, seed=9)
+        ]
+        per_proc = self._coverage(mk, n_processes=2, id_key="idx")
+        self._assert_partition(per_proc, global_sigs)
+
+    def test_wav2vec2_batcher_partition(self, meld_like_root_with_wavs):
+        from mer_tpu.data import Wav2Vec2Batcher, Wav2Vec2FeatureDataset
+
+        root, _ = meld_like_root_with_wavs
+        ds = Wav2Vec2FeatureDataset("train", data_root=root)
+        global_sigs = [
+            bytes(np.asarray(b["idx"]).tobytes())
+            for b in Wav2Vec2Batcher(ds, batch_size=4, shuffle=True, seed=9, seconds_buckets=(1.0,))
+        ]
+        per_proc = self._coverage(
+            lambda p, n: Wav2Vec2Batcher(
+                ds, batch_size=4, shuffle=True, seed=9, seconds_buckets=(1.0,),
+                process_index=p, process_count=n,
+            ),
+            n_processes=3,
+            id_key="idx",
+        )
+        self._assert_partition(per_proc, global_sigs)
+
+    def test_resolve_process_validation(self):
+        import pytest
+
+        from mer_tpu.data import resolve_process
+
+        assert resolve_process(0, 1) == (0, 1)
+        assert resolve_process(2, 4) == (2, 4)
+        assert resolve_process(None, None) == (0, 1)  # single-process jax runtime
+        with pytest.raises(ValueError):
+            resolve_process(4, 4)
+        with pytest.raises(ValueError):
+            resolve_process(0, 0)

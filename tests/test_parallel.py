@@ -176,6 +176,97 @@ class TestSequenceParallel:
         np.testing.assert_allclose(got, ref, atol=1e-6)
 
 
+class TestFESolverDP:
+    """DP sharding for the stage-1 solvers that own the expensive workloads
+    (VERDICT: FE fine-tunes are exactly where DP matters)."""
+
+    def test_text_fe_epoch_sharded_matches_single_device(self, meld_like_root, tmp_path):
+        from mer_tpu.core import Config
+        from mer_tpu.data import TextBatcher, TextFeatureDataset, ToyWhitespaceTokenizer
+        from mer_tpu.models.roberta import RobertaConfig, TextERC
+        from mer_tpu.train import FESolver
+
+        root, _ = meld_like_root
+        small = RobertaConfig(
+            vocab_size=1000, hidden_size=32, num_hidden_layers=1, num_attention_heads=4,
+            intermediate_size=64, max_position_embeddings=520, num_labels=7,
+        )
+        tok = ToyWhitespaceTokenizer(vocab_size=small.vocab_size)
+        train_ds = TextFeatureDataset("train", tok, data_root=root)
+        cfg = Config(
+            {
+                "checkpoint": {"save_checkpoint": False, "save_path": str(tmp_path / "c.ckpt")},
+                "solver": {
+                    "loss_fn": "CE", "balance_classes": False,
+                    "warmup_epochs": 1, "num_frozen_epochs": 0,
+                    "frozen_lr": 1e-3, "finetuning_lr": 1e-4, "weight_decay": 0.01,
+                    "epochs": 1,
+                    "early_stopping": {"enabled": False, "patience": 1, "restore_best_weights": False},
+                },
+                "wandb": {"enabled": False},
+            }
+        )
+
+        losses = {}
+        for name, mesh in [("single", None), ("dp8", make_mesh(dp=8, tp=1))]:
+            solver = FESolver(
+                TextERC(small), cfg, backbone_key="roberta",
+                batch_to_inputs=lambda b: (b["text"], b["attention_mask"]),
+                seed=0, mesh=mesh,
+            )
+            batcher = TextBatcher(train_ds, batch_size=8, shuffle=False)
+            state = solver.init_state(next(iter(batcher)), steps_per_epoch=len(batcher))
+            if mesh is not None:
+                # params really live on the mesh (replicated over all 8 devices)
+                assert len(jax.tree.leaves(state["params"])[0].sharding.device_set) == 8
+            state, loss = solver.train_epoch(state, batcher, epoch=0, rng=jax.random.PRNGKey(1))
+            losses[name] = loss
+        assert np.isfinite(losses["single"])
+        np.testing.assert_allclose(losses["single"], losses["dp8"], rtol=1e-4)
+
+    def test_mel_solver_epoch_sharded_matches_single_device(self, meld_like_root_with_wavs, tmp_path):
+        from mer_tpu.core import Config
+        from mer_tpu.models.resnet import AudioMelFeatureExtractor
+        from mer_tpu.data import MelFeatureDataset
+        from mer_tpu.train import MelSolver
+
+        root, _ = meld_like_root_with_wavs
+        cfg = Config(
+            {
+                "DEBUG": {"enabled": True, "num_samples": 16, "train": True},
+                "AUDIO": {"ffmpeg_sr": 16000, "wav2vec_sr": 16000, "max_duration": 1.0, "augmentation_factor": 1},
+                "checkpoint": {
+                    "save_path": str(tmp_path / "mel.ckpt"), "save_checkpoint": False,
+                },
+                "solver": {
+                    "len_triplet_picking": 16, "mining_type": "hard",
+                    "adaptive_triplet_margin_loss": True, "covariance_loss": True, "variance_loss": True,
+                    "lr": 1e-4, "weight_decay": 0.0, "epochs": 1,
+                    "scheduler": {"enabled": False},
+                    "early_stopping": {"enabled": False, "patience": 1, "restore_best_weights": False},
+                },
+                # batch 8 -> [24] triplet batch rows, divisible by dp=8
+                "train": {"data_loader": {"shuffle": False, "batch_size": 8}},
+                "val": {"data_loader": {"shuffle": False, "batch_size": 8}},
+                "wandb": {"enabled": False},
+            }
+        )
+
+        losses = {}
+        for name, mesh in [("single", None), ("dp8", make_mesh(dp=8, tp=1))]:
+            train_ds = MelFeatureDataset("train", cfg, data_root=root)
+            val_ds = MelFeatureDataset("val", cfg, data_root=root)
+            solver = MelSolver(
+                AudioMelFeatureExtractor(embedding_size=16), cfg, train_ds, val_ds,
+                seed=0, mesh=mesh,
+            )
+            state = solver.init_state()
+            state, loss = solver.train_epoch(state, epoch=0, rng=jax.random.PRNGKey(2))
+            losses[name] = loss
+        assert np.isfinite(losses["single"])
+        np.testing.assert_allclose(losses["single"], losses["dp8"], rtol=1e-4)
+
+
 class TestFitWithMesh:
     def test_full_fit_on_dp_tp_mesh(self, tmp_path):
         """The whole Solver.fit loop (train epochs + eval + checkpoint +
