@@ -49,6 +49,8 @@ def bench_fusion(results: dict) -> None:
     state = solver.init_state(next(iter(dev_batcher)), steps_per_epoch=len(dev_batcher))
     solver._build_steps()
     rng = jax.random.PRNGKey(0)
+
+    # per-step dispatch path (the round-1 number, kept for comparison)
     for b in dev_batcher:
         state, loss = solver._train_step(state, b, rng)
     _ = float(loss)
@@ -59,7 +61,97 @@ def bench_fusion(results: dict) -> None:
             state, loss = solver._train_step(state, b, rng)
         _ = float(loss)  # chained: forces the full epoch
         times.append(time.perf_counter() - t0)
+    results["fusion_train_stepwise_utt_per_s"] = round(n_utt / min(times), 1)
+
+    # scanned-epoch path (one XLA program per bucket group — the production
+    # train_epoch path for HBM-resident data; removes dispatch latency)
+    state, _ = solver.train_epoch(state, dev_batcher, rng)  # compile
+    times = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        state, loss_train = solver.train_epoch(state, dev_batcher, rng)
+        times.append(time.perf_counter() - t0)  # train_epoch returns a float: chained
     results["fusion_train_utt_per_s"] = round(n_utt / min(times), 1)
+
+
+def _device_timed(fn, args, iters: int) -> float:
+    """Device-chained timing: iters iterations inside one jitted scan with a
+    data dependency (immune to per-dispatch tunnel latency)."""
+    import jax
+    import jax.numpy as jnp
+
+    first, rest = args[0], args[1:]
+
+    @jax.jit
+    def many(first, *rest):
+        def body(c, _):
+            out = fn(first + c * 1e-30, *rest)
+            leaf = out[0] if isinstance(out, tuple) else out
+            return jnp.sum(leaf) * 1e-30, None
+
+        c, _ = jax.lax.scan(body, jnp.float32(0), None, length=iters)
+        return c
+
+    float(many(first, *rest))
+    t0 = time.perf_counter()
+    float(many(first, *rest))
+    return (time.perf_counter() - t0) / iters * 1e3
+
+
+def bench_kernels(results: dict) -> None:
+    """Kernel-region timings, device-resident (no tunnel in the loop)."""
+    import jax
+    import jax.numpy as jnp
+
+    from mer_tpu.ops.attention import _attention_reference
+    from mer_tpu.ops.flash_attention import flash_attention
+    from mer_tpu.ops.logmel import MelConfig
+    from mer_tpu.ops.logmel_pallas import _operands, logmel_frames_pallas
+
+    rng = np.random.default_rng(0)
+
+    # log-mel kernel region: GEMM-NDFT + magnitude + mel + log on frames
+    cfg = MelConfig()
+    cos_p, sin_p, mel_t = _operands(cfg)
+    cos_j, sin_j, mel_j = jnp.asarray(cos_p), jnp.asarray(sin_p), jnp.asarray(mel_t)
+
+    def xla_unfused(frames):
+        f = jnp.pad(frames, ((0, 0), (0, 0), (0, cos_p.shape[0] - frames.shape[-1])))
+        re = jnp.einsum("bfn,nk->bfk", f, cos_j)
+        im = jnp.einsum("bfn,nk->bfk", f, sin_j)
+        mag = jnp.sqrt(re * re + im * im)
+        mel = jnp.einsum("bfk,km->bfm", mag, mel_j)
+        return jnp.log(mel + np.finfo(np.float64).eps)[..., : cfg.n_mels]
+
+    frames = jnp.asarray(rng.normal(size=(32, 1001, cfg.n_fft)).astype(np.float32))
+    xla_ms = _device_timed(xla_unfused, (frames,), 30)
+    pal_ms = _device_timed(lambda f: logmel_frames_pallas(f, cfg), (frames,), 30)
+    results["logmel_kernel_device_xla_ms"] = round(xla_ms, 3)
+    results["logmel_kernel_device_pallas_ms"] = round(pal_ms, 3)
+    results["logmel_kernel_device_speedup"] = round(xla_ms / pal_ms, 2)
+
+    # attention kernel at a mid and a long shape (full table:
+    # scripts/bench_attention.py)
+    for name, b, h, s, dh, iters in [("s1024", 8, 12, 1024, 64, 16), ("s8192", 2, 12, 8192, 64, 4)]:
+        q, k, v = (jnp.asarray(rng.normal(size=(b, h, s, dh)).astype(np.float32)) for _ in range(3))
+        mask = jnp.asarray(rng.random((b, s)) < 0.1)
+
+        def xla_train(q, k, v):
+            return jax.grad(
+                lambda q, k, v: jnp.sum(_attention_reference(
+                    q, k, v, key_padding_mask=mask, dropout_rate=0.0,
+                    dropout_rng=None, deterministic=True) ** 2),
+                argnums=(0, 1, 2),
+            )(q, k, v)
+
+        def pal_train(q, k, v):
+            return jax.grad(
+                lambda q, k, v: jnp.sum(flash_attention(q, k, v, key_padding_mask=mask) ** 2),
+                argnums=(0, 1, 2),
+            )(q, k, v)
+
+        results[f"attention_train_{name}_xla_ms"] = round(_device_timed(xla_train, (q, k, v), iters), 3)
+        results[f"attention_train_{name}_pallas_ms"] = round(_device_timed(pal_train, (q, k, v), iters), 3)
 
 
 def bench_logmel(results: dict) -> None:
@@ -148,6 +240,7 @@ def main():
         )
 
     results: dict = {}
+    bench_kernels(results)
     bench_logmel(results)
     bench_fusion(results)
     bench_mel_pipeline(results, data_root)

@@ -123,6 +123,24 @@ def collate_dialogues(
     return {"text": text, "audio": audio, "emotion": emotion, "padding_mask": padding_mask}
 
 
+def gather_fusion_batch(text_all, audio_all, emotion_all, idx, bucket: int):
+    """Jit-safe HBM gather of one padded dialogue batch (shared by
+    DeviceFusionBatcher and the scanned-epoch train path). ``idx`` rows of -1
+    are all-padding dialogues (final partial batch)."""
+    import jax.numpy as jnp
+
+    safe = jnp.maximum(idx, 0)
+    valid_row = (idx >= 0)[:, None]
+    t = jnp.where(valid_row[..., None], text_all[safe, :bucket], 0.0)
+    a = jnp.where(valid_row[..., None], audio_all[safe, :bucket], 0.0)
+    e = jnp.where(valid_row, emotion_all[safe, :bucket], -1)
+    mask = e == -1
+    # keep one attendable key in all-pad rows (collate_dialogues parity)
+    empty = mask.all(axis=1)
+    mask = mask.at[:, 0].set(jnp.where(empty, False, mask[:, 0]))
+    return {"text": t, "audio": a, "emotion": e, "padding_mask": mask}
+
+
 class DeviceFusionBatcher:
     """FusionBatcher with the whole dataset resident in HBM.
 
@@ -168,20 +186,7 @@ class DeviceFusionBatcher:
         self._emotion = jnp.asarray(emotion)
         self._n = n
 
-        @partial(jax.jit, static_argnames=("bucket",))
-        def gather(text_all, audio_all, emotion_all, idx, bucket):
-            safe = jnp.maximum(idx, 0)
-            valid_row = (idx >= 0)[:, None]
-            t = jnp.where(valid_row[..., None], text_all[safe, :bucket], 0.0)
-            a = jnp.where(valid_row[..., None], audio_all[safe, :bucket], 0.0)
-            e = jnp.where(valid_row, emotion_all[safe, :bucket], -1)
-            mask = e == -1
-            # keep one attendable key in all-pad rows (collate_dialogues parity)
-            empty = mask.all(axis=1)
-            mask = mask.at[:, 0].set(jnp.where(empty, False, mask[:, 0]))
-            return {"text": t, "audio": a, "emotion": e, "padding_mask": mask}
-
-        self._gather = gather
+        self._gather = jax.jit(gather_fusion_batch, static_argnames=("bucket",))
 
     def __len__(self) -> int:
         from mer_tpu.data.process_sharding import local_num_batches
@@ -189,7 +194,7 @@ class DeviceFusionBatcher:
         n_global = (self._n + self.batch_size - 1) // self.batch_size
         return local_num_batches(n_global, self.process_index, self.process_count)
 
-    def __iter__(self):
+    def _epoch_batches(self) -> list[np.ndarray]:
         from mer_tpu.data.process_sharding import shard_batches
 
         order = np.arange(self._n)
@@ -200,14 +205,41 @@ class DeviceFusionBatcher:
         batches = [order[i : i + self.batch_size] for i in range(0, self._n, self.batch_size)]
         if self.shuffle:
             self._rng.shuffle(batches)
-        batches = shard_batches(batches, self.process_index, self.process_count)
+        return shard_batches(batches, self.process_index, self.process_count)
+
+    def __iter__(self):
         import jax.numpy as jnp
 
-        for idxs in batches:
+        for idxs in self._epoch_batches():
             pad = self.batch_size - len(idxs)
             full = np.concatenate([idxs, -np.ones(pad, np.int64)]) if pad else idxs
             bucket = pick_bucket(int(self._lengths[idxs].max()), self.buckets)
             yield self._gather(self._text, self._audio, self._emotion, jnp.asarray(full.astype(np.int32)), bucket)
+
+    def epoch_index_plan(self) -> list[tuple[int, "object"]]:
+        """One epoch as bucket-grouped index matrices for the scanned train
+        path (train/solver.py): list of (bucket, [n_steps_in_group, B] int32
+        device array). Same shuffle stream as __iter__; batches are grouped
+        by bucket so each group compiles once and runs as ONE XLA scan —
+        removing the per-step dispatch latency that dominated round 1's
+        train/inference gap (VERDICT weak #4)."""
+        import jax.numpy as jnp
+
+        groups: dict[int, list[np.ndarray]] = {}
+        for idxs in self._epoch_batches():
+            pad = self.batch_size - len(idxs)
+            full = np.concatenate([idxs, -np.ones(pad, np.int64)]) if pad else idxs
+            bucket = pick_bucket(int(self._lengths[idxs].max()), self.buckets)
+            groups.setdefault(bucket, []).append(full.astype(np.int32))
+        return [
+            (bucket, jnp.asarray(np.stack(rows)))
+            for bucket, rows in sorted(groups.items())
+        ]
+
+    @property
+    def arrays(self):
+        """(text, audio, emotion) HBM-resident tables for the scan gather."""
+        return self._text, self._audio, self._emotion
 
 
 class FusionBatcher:

@@ -65,13 +65,19 @@ def dot_product_attention(
 
 
 def _should_use_pallas(q: jnp.ndarray, dropout_rate: float, deterministic: bool) -> bool:
-    # Measured on v5e (bf16, h8-12, dh64), execution-verified timings:
-    #   s=512:   XLA 0.81 ms  | pallas 1.05 ms   -> XLA
-    #   s=2048:  XLA 2.19 ms  | pallas 1.95 ms   -> pallas (single-pass)
-    #   s=4096:  XLA 5.00 ms  | pallas 3.72 ms   -> pallas (single-pass)
-    #   s=8192:  XLA 10.1 ms  | pallas-stream 14.2 ms -> XLA (its own fusion streams)
-    # Auto-dispatch uses the kernel only in its measured win zone
-    # [2048, 4096]; MER_TPU_FLASH_ATTENTION=1 forces it, =0 forces XLA.
+    # Measured on v5e (f32, B8 H12 dh64, device-chained scan timing,
+    # scripts/bench_attention.py, round 2 — adaptive q-blocks + fused/tiled
+    # backward kernels):
+    #            XLA fwd | pallas fwd | XLA fwd+bwd | pallas fwd+bwd
+    #   s=512:    1.23   |   1.22     |    1.52     |   1.51    -> tie
+    #   s=1024:   2.92   |   2.01     |    5.30     |   2.99    -> pallas
+    #   s=2048:   8.11   |   3.54     |   18.15     |   7.38    -> pallas
+    #   s=4096:  14.77   |   5.25     |   33.20     |  16.16    -> pallas
+    #   s=8192: 1336(!)  |  31.2      |   719.6     |  51.9     -> pallas
+    #   (B4 at 4096, B2 at 8192; XLA's unfused path materializes the
+    #    [B,H,S,S] probabilities — 6.4 GB at 8192 — hence the collapse.)
+    # Auto-dispatch: pallas from s>=512 with no upper bound;
+    # MER_TPU_FLASH_ATTENTION=1 forces it, =0 forces XLA.
     import os
 
     force = os.environ.get("MER_TPU_FLASH_ATTENTION")
@@ -90,7 +96,7 @@ def _should_use_pallas(q: jnp.ndarray, dropout_rate: float, deterministic: bool)
         return False
     if force == "1":
         return sq >= 128
-    return 2048 <= sq <= 4096
+    return sq >= 512
 
 
 def _attention_reference(

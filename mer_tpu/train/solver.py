@@ -185,8 +185,27 @@ class Solver:
             preds = jnp.argmax(logits, axis=-1)
             return loss, preds
 
+        def scan_train(state: TrainState, idx_all, text_all, audio_all, emotion_all, rng, bucket: int):
+            """A whole bucket-group of train steps as ONE XLA program: scan
+            over [n_steps, B] index rows, gathering each batch from the
+            HBM-resident tables. Removes per-step dispatch latency (the
+            round-1 train/inference gap was dispatch-bound, not compute-
+            bound — see ROADMAP §train-gap)."""
+            from mer_tpu.data.fusion import gather_fusion_batch
+
+            def body(carry, idx_row):
+                batch = gather_fusion_batch(text_all, audio_all, emotion_all, idx_row, bucket)
+                new_state, loss = train_step(carry, batch, rng)
+                return new_state, loss
+
+            state, losses = jax.lax.scan(body, state, idx_all)
+            return state, jnp.sum(losses)
+
         donate = bool(self.config.get_path("tpu.donate_state", True))
         self._train_step = jax.jit(train_step, donate_argnums=(0,) if donate else ())
+        self._scan_train = jax.jit(
+            scan_train, static_argnames=("bucket",), donate_argnums=(0,) if donate else ()
+        )
         self._eval_step = jax.jit(eval_step)
 
     @property
@@ -198,6 +217,14 @@ class Solver:
     def train_epoch(self, state: TrainState, batcher, rng) -> tuple[TrainState, float]:
         if self._train_step is None:
             self._build_steps()
+        # Scanned-epoch fast path: HBM-resident dataset + no per-step logging
+        # + single device -> run each bucket group as one XLA scan program.
+        if (
+            self.mesh is None
+            and not self.logger.wants_step_logs
+            and hasattr(batcher, "epoch_index_plan")
+        ):
+            return self._train_epoch_scanned(state, batcher, rng)
         # Losses stay on device during the epoch — a per-step float() would
         # stall the dispatch pipeline. Per-step running-loss logging (the
         # reference's wandb semantics) only happens when a logger wants it.
@@ -215,6 +242,19 @@ class Solver:
         if not sync_every_step:
             total = float(jnp.sum(jnp.stack(losses))) if losses else 0.0
         return state, total / max(batches, 1)
+
+    def _train_epoch_scanned(self, state: TrainState, batcher, rng) -> tuple[TrainState, float]:
+        text_all, audio_all, emotion_all = batcher.arrays
+        loss_sums = []
+        steps = 0
+        for bucket, idx in batcher.epoch_index_plan():
+            state, loss_sum = self._scan_train(
+                state, idx, text_all, audio_all, emotion_all, rng, bucket
+            )
+            loss_sums.append(loss_sum)
+            steps += int(idx.shape[0])
+        total = float(jnp.sum(jnp.stack(loss_sums))) if loss_sums else 0.0
+        return state, total / max(steps, 1)
 
     def evaluate(self, params, batcher) -> tuple[float, BatchAveragedMetrics]:
         if self._eval_step is None:

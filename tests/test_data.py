@@ -211,18 +211,20 @@ class TestDeviceFusionBatcher:
             {
                 "checkpoint": {"save_checkpoint": False},
                 "solver": {
-                    "lr": 1e-3, "weight_decay": 0.0, "epochs": 2,
+                    "lr": 1e-3, "weight_decay": 0.0, "epochs": 4,
                     "scheduler": {"enabled": False}, "early_stopping": {"enabled": False},
                 },
                 "wandb": {"enabled": False},
                 "tpu": {"seed": 0},
             }
         )
+        # dropout 0 so the loss trend is deterministic (2 steps/epoch is too
+        # few to average out dropout noise)
         model = M2FNet(
             d_model_audio=8, d_model_text=8, d_model_fam=8,
             n_head_audio=2, n_head_text=2, n_head_fam=2,
             n_layers_audio=1, n_layers_text=1, n_layers_fam=1,
-            hidden_size_classifier=8,
+            hidden_size_classifier=8, dropout=0.0,
         )
         ds = SyntheticFusionDataset(n_dialogues=16, d_text=8, d_audio=8, seed=13)
         train_b = DeviceFusionBatcher(ds, batch_size=8, shuffle=True)

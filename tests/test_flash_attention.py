@@ -110,3 +110,124 @@ class TestStreamingKernel:
         single = _flash_impl(q, k, v, bias, interpret=True, force_stream=False)
         stream = _flash_impl(q, k, v, bias, interpret=True, force_stream=True)
         np.testing.assert_allclose(np.asarray(stream), np.asarray(single), rtol=2e-4, atol=2e-4)
+
+
+class TestFusedBackward:
+    """The fused Pallas backward kernel vs the jnp-reference VJP."""
+
+    def _ref_grads(self, q, k, v, bias, g):
+        import math
+
+        def ref(q, k, v):
+            dh = q.shape[-1]
+            s = jnp.einsum("bhqd,bhkd->bhqk", q * (1.0 / math.sqrt(dh)), k)
+            s = s + bias[:, None, None, :]
+            p = jax.nn.softmax(s.astype(jnp.float32), axis=-1).astype(q.dtype)
+            return jnp.einsum("bhqk,bhkd->bhqd", p, v)
+
+        _, vjp = jax.vjp(ref, q, k, v)
+        return vjp(g)
+
+    @pytest.mark.parametrize("use_mask", [False, True])
+    def test_matches_reference_vjp(self, use_mask):
+        from mer_tpu.ops.flash_attention import _flash_bwd_fused, _flash_impl
+
+        rng = np.random.default_rng(0)
+        b, h, s, dh = 2, 3, 160, 48
+        q, k, v, g = (jnp.asarray(rng.normal(size=(b, h, s, dh)).astype(np.float32)) for _ in range(4))
+        if use_mask:
+            mask = jnp.asarray(rng.random((b, s)) < 0.25)
+            bias = jnp.where(mask, -1e30, 0.0).astype(jnp.float32)
+        else:
+            bias = jnp.zeros((b, s), jnp.float32)
+
+        out = _flash_impl(q, k, v, bias, interpret=True)
+        dq, dk, dv = _flash_bwd_fused(q, k, v, bias, out, g, interpret=True)
+        rq, rk, rv = self._ref_grads(q, k, v, bias, g)
+        np.testing.assert_allclose(np.asarray(dq), np.asarray(rq), rtol=2e-4, atol=2e-5)
+        np.testing.assert_allclose(np.asarray(dk), np.asarray(rk), rtol=2e-4, atol=2e-5)
+        np.testing.assert_allclose(np.asarray(dv), np.asarray(rv), rtol=2e-4, atol=2e-5)
+
+    def test_cross_attention_lengths(self):
+        from mer_tpu.ops.flash_attention import _flash_bwd_fused, _flash_impl
+
+        rng = np.random.default_rng(1)
+        b, h, sq, sk, dh = 1, 2, 96, 200, 32
+        q = jnp.asarray(rng.normal(size=(b, h, sq, dh)).astype(np.float32))
+        k = jnp.asarray(rng.normal(size=(b, h, sk, dh)).astype(np.float32))
+        v = jnp.asarray(rng.normal(size=(b, h, sk, dh)).astype(np.float32))
+        g = jnp.asarray(rng.normal(size=(b, h, sq, dh)).astype(np.float32))
+        bias = jnp.zeros((b, sk), jnp.float32)
+
+        out = _flash_impl(q, k, v, bias, interpret=True)
+        dq, dk, dv = _flash_bwd_fused(q, k, v, bias, out, g, interpret=True)
+        rq, rk, rv = self._ref_grads(q, k, v, bias, g)
+        np.testing.assert_allclose(np.asarray(dq), np.asarray(rq), rtol=2e-4, atol=2e-5)
+        np.testing.assert_allclose(np.asarray(dk), np.asarray(rk), rtol=2e-4, atol=2e-5)
+        np.testing.assert_allclose(np.asarray(dv), np.asarray(rv), rtol=2e-4, atol=2e-5)
+
+    def test_grad_through_flash_attention_uses_fused_kernel(self):
+        """jax.grad through flash_attention at a fused-zone shape must match
+        the pure-jnp gradient (the public VJP path end-to-end)."""
+        from mer_tpu.ops.attention import _attention_reference
+        from mer_tpu.ops.flash_attention import flash_attention
+
+        rng = np.random.default_rng(2)
+        b, h, s, dh = 2, 2, 130, 24
+        q, k, v = (jnp.asarray(rng.normal(size=(b, h, s, dh)).astype(np.float32)) for _ in range(3))
+        mask = jnp.asarray(rng.random((b, s)) < 0.2)
+
+        def loss_flash(q, k, v):
+            return (flash_attention(q, k, v, key_padding_mask=mask, interpret=True) ** 2).sum()
+
+        def loss_ref(q, k, v):
+            o = _attention_reference(
+                q, k, v, key_padding_mask=mask, dropout_rate=0.0,
+                dropout_rng=None, deterministic=True,
+            )
+            return (o ** 2).sum()
+
+        gf = jax.grad(loss_flash, argnums=(0, 1, 2))(q, k, v)
+        gr = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+        for a, b_ in zip(gf, gr):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b_), rtol=5e-4, atol=5e-5)
+
+
+class TestTiledBackward:
+    """The K-tiled streaming backward (saved-logsumexp) vs the jnp VJP."""
+
+    @pytest.mark.parametrize("use_mask", [False, True])
+    def test_matches_reference_vjp(self, use_mask):
+        from mer_tpu.ops.flash_attention import _flash_bwd_tiled, _flash_impl
+
+        rng = np.random.default_rng(3)
+        b, h, sq, sk, dh = 1, 2, 256, 1024, 32  # 2 k-tiles at BLOCK_K=512
+        q = jnp.asarray(rng.normal(size=(b, h, sq, dh)).astype(np.float32))
+        k = jnp.asarray(rng.normal(size=(b, h, sk, dh)).astype(np.float32))
+        v = jnp.asarray(rng.normal(size=(b, h, sk, dh)).astype(np.float32))
+        g = jnp.asarray(rng.normal(size=(b, h, sq, dh)).astype(np.float32))
+        if use_mask:
+            mask = jnp.asarray(rng.random((b, sk)) < 0.25)
+            bias = jnp.where(mask, -1e30, 0.0).astype(jnp.float32)
+        else:
+            bias = jnp.zeros((b, sk), jnp.float32)
+
+        out, lse = _flash_impl(q, k, v, bias, interpret=True, return_stats=True)
+        dq, dk, dv = _flash_bwd_tiled(q, k, v, bias, out, lse, g, interpret=True)
+        tb = TestFusedBackward()
+        rq, rk, rv = tb._ref_grads(q, k, v, bias, g)
+        np.testing.assert_allclose(np.asarray(dq), np.asarray(rq), rtol=2e-4, atol=2e-5)
+        np.testing.assert_allclose(np.asarray(dk), np.asarray(rk), rtol=2e-4, atol=2e-5)
+        np.testing.assert_allclose(np.asarray(dv), np.asarray(rv), rtol=2e-4, atol=2e-5)
+
+    def test_streaming_fwd_stats_match_single_pass(self):
+        from mer_tpu.ops.flash_attention import _flash_impl
+
+        rng = np.random.default_rng(4)
+        b, h, s, dh = 1, 2, 1024, 32
+        q, k, v = (jnp.asarray(rng.normal(size=(b, h, s, dh)).astype(np.float32)) for _ in range(3))
+        bias = jnp.zeros((b, s), jnp.float32)
+        out_s, lse_s = _flash_impl(q, k, v, bias, interpret=True, force_stream=True, return_stats=True)
+        out_1, lse_1 = _flash_impl(q, k, v, bias, interpret=True, force_stream=False, return_stats=True)
+        np.testing.assert_allclose(np.asarray(out_s), np.asarray(out_1), rtol=1e-5, atol=1e-6)
+        np.testing.assert_allclose(np.asarray(lse_s), np.asarray(lse_1), rtol=1e-5, atol=1e-6)

@@ -247,3 +247,69 @@ class TestAsyncCheckpointer:
             w.save(path, epoch=e, params={"k": np.full(2, e, np.float32)})
         w.wait()
         assert load_checkpoint(path)["epoch"] == 4
+
+
+class TestScannedEpoch:
+    """The scanned-epoch fast path (one XLA program per bucket group) must
+    produce the same losses and parameters as stepping batch-by-batch."""
+
+    def _solver(self, tmp_path, model_dim=32):
+        cfg = Config(
+            {
+                "checkpoint": {"save_checkpoint": False, "save_path": str(tmp_path / "c.ckpt")},
+                "solver": {
+                    "lr": 1e-3, "weight_decay": 0.01, "epochs": 1,
+                    "scheduler": {"enabled": False}, "early_stopping": {"enabled": False},
+                },
+                "wandb": {"enabled": False},
+                "tpu": {"seed": 0, "donate_state": False},
+            }
+        )
+        model = M2FNet(
+            d_model_audio=model_dim, d_model_text=model_dim, d_model_fam=model_dim,
+            n_head_audio=4, n_head_text=4, n_head_fam=4,
+            n_layers_audio=1, n_layers_text=1, n_layers_fam=1,
+            hidden_size_classifier=model_dim, dropout=0.0,
+        )
+        return Solver(model, cfg)
+
+    def test_matches_stepwise(self, tmp_path):
+        from mer_tpu.data import DeviceFusionBatcher
+        from mer_tpu.data.fusion import gather_fusion_batch
+
+        ds = SyntheticFusionDataset(n_dialogues=21, d_text=32, d_audio=32, seed=0)
+        batcher = DeviceFusionBatcher(ds, batch_size=8, shuffle=False)
+        plan = batcher.epoch_index_plan()
+        assert sum(int(idx.shape[0]) for _, idx in plan) == len(batcher)
+
+        solver = self._solver(tmp_path)
+        rng = jax.random.PRNGKey(3)
+
+        state0 = solver.init_state(next(iter(batcher)), steps_per_epoch=len(batcher))
+        solver._build_steps()
+        state_scan, loss_scan = solver._train_epoch_scanned(state0, batcher, rng)
+
+        state_step = solver.init_state(next(iter(batcher)), steps_per_epoch=len(batcher))
+        text_all, audio_all, emotion_all = batcher.arrays
+        losses = []
+        for bucket, idx in plan:
+            for row in np.asarray(idx):
+                batch = gather_fusion_batch(text_all, audio_all, emotion_all, jnp.asarray(row), bucket)
+                state_step, loss = solver._train_step(state_step, batch, rng)
+                losses.append(float(loss))
+
+        np.testing.assert_allclose(loss_scan, np.mean(losses), rtol=1e-5)
+        for a, b in zip(jax.tree.leaves(state_scan.params), jax.tree.leaves(state_step.params)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-6)
+
+    def test_fit_uses_scan_path_with_device_batcher(self, tmp_path):
+        from mer_tpu.data import DeviceFusionBatcher
+
+        ds = SyntheticFusionDataset(n_dialogues=16, d_text=32, d_audio=32, seed=1)
+        train_b = DeviceFusionBatcher(ds, batch_size=8, shuffle=True, seed=2)
+        val_b = DeviceFusionBatcher(
+            SyntheticFusionDataset(n_dialogues=8, d_text=32, d_audio=32, seed=2), batch_size=8
+        )
+        solver = self._solver(tmp_path)
+        state, history = solver.fit(train_b, val_b)
+        assert np.isfinite(history["loss_values"][0])
