@@ -146,6 +146,12 @@ class TripletMiner:
         self.embed_fn = embed_fn
         self.labels = np.asarray(labels)
         self.len_triplet_picking = len_triplet_picking
+        # Semi-hard rejection telemetry: the batched sampler deviates from the
+        # reference's spin-forever loop (audio_mel/dataset.py:242-296) only in
+        # its bounded-rounds random fallback; these counters quantify how
+        # often that fallback actually fires (tests/test_mining.py asserts it
+        # is rare under realistic acceptance rates).
+        self.stats = {"semihard_accepted": 0, "semihard_fallback": 0, "semihard_rounds": 0}
 
     def mine(self, batch_size: int, mining_type: str = "hard", margin: float = 1.0):
         if mining_type == "random":
@@ -184,11 +190,15 @@ class TripletMiner:
             sel = np.flatnonzero(ok)[:take]
             kept_a.append(a[sel]); kept_p.append(p[sel]); kept_n.append(n[sel])
             need -= take
+            self.stats["semihard_rounds"] += 1
+            self.stats["semihard_accepted"] += take
             if need == 0:
                 break
         else:
             # fall back to random for any remainder (the reference would spin
-            # forever; we degrade gracefully and note it)
+            # forever; we degrade gracefully and count it — stats quantify
+            # how often this deviation actually bites)
             a, p, n = self.sampler.sample_random_triplets(need)
             kept_a.append(a); kept_p.append(p); kept_n.append(n)
+            self.stats["semihard_fallback"] += need
         return np.concatenate(kept_a), np.concatenate(kept_p), np.concatenate(kept_n)

@@ -139,7 +139,7 @@ class FESolver:
     def _build_steps(self):
         model, loss_fn, batch_to_inputs = self.model, self.loss_fn, self.batch_to_inputs
 
-        def make_step(optimizer, opt_key, advance_step):
+        def make_step(optimizer, opt_key, advance_step, watched=False):
             def step_fn(state, batch, rng):
                 step_rng = jax.random.fold_in(rng, state["step"])
 
@@ -158,12 +158,20 @@ class FESolver:
                 new_state[opt_key] = new_opt
                 if advance_step:
                     new_state["step"] = state["step"] + 1
+                if watched:
+                    # wandb.watch analog (reference text/train.py:124-130)
+                    from mer_tpu.utils.logging import watch_norms
+
+                    return new_state, loss, watch_norms(grads, new_params, self.logger.watch_log)
                 return new_state, loss
 
             return jax.jit(step_fn, donate_argnums=(0,))
 
         self._step_frozen = make_step(self.opt_frozen, "frozen_opt", advance_step=False)
         self._step_finetune = make_step(self.opt_finetune, "finetune_opt", advance_step=True)
+        if self.logger.wants_watch_logs:
+            self._step_frozen_watched = make_step(self.opt_frozen, "frozen_opt", advance_step=False, watched=True)
+            self._step_finetune_watched = make_step(self.opt_finetune, "finetune_opt", advance_step=True, watched=True)
 
         def eval_step(params, batch):
             logits = model.apply({"params": params}, *batch_to_inputs(batch), deterministic=True)
@@ -178,10 +186,19 @@ class FESolver:
         is_frozen = epoch < self.num_frozen_epochs
         step_fn = self._step_frozen if is_frozen else self._step_finetune
         sync_every_step = self.logger.wants_step_logs
+        watch_every = self.logger.watch_freq if self.logger.wants_watch_logs else 0
+        watched_fn = (
+            (self._step_frozen_watched if is_frozen else self._step_finetune_watched)
+            if watch_every else None
+        )
         losses = []
         total, batches = 0.0, 0
         for batch in prefetch(batcher, sharding=self.data_sharding):
-            state, loss = step_fn(state, batch, rng)
+            if watch_every and batches % watch_every == 0:
+                state, loss, norms = watched_fn(state, batch, rng)
+                self.logger.log_watch(norms)
+            else:
+                state, loss = step_fn(state, batch, rng)
             batches += 1
             if sync_every_step:
                 total += float(loss)

@@ -67,7 +67,7 @@ class MelSolver:
         self._apply = _apply
         self._embed = jax.jit(_apply)
 
-        def triplet_step(state: TrainState, spectrograms: jnp.ndarray):
+        def _step_core(state: TrainState, spectrograms: jnp.ndarray):
             def compute_loss(params):
                 emb = _apply(params, spectrograms)  # [3B, D]
                 a, p, n = jnp.split(emb, 3, axis=0)
@@ -78,7 +78,18 @@ class MelSolver:
             import optax
 
             new_params = optax.apply_updates(state.params, updates)
-            return state.replace(params=new_params, opt_state=new_opt, step=state.step + 1), loss
+            return state.replace(params=new_params, opt_state=new_opt, step=state.step + 1), loss, grads
+
+        def triplet_step(state: TrainState, spectrograms: jnp.ndarray):
+            new_state, loss, _ = _step_core(state, spectrograms)  # grads DCE'd
+            return new_state, loss
+
+        def triplet_step_watched(state: TrainState, spectrograms: jnp.ndarray):
+            """wandb.watch analog (reference audio_mel/train.py:135-141)."""
+            from mer_tpu.utils.logging import watch_norms
+
+            new_state, loss, grads = _step_core(state, spectrograms)
+            return new_state, loss, watch_norms(grads, new_state.params, self.logger.watch_log)
 
         def eval_loss(params, spectrograms: jnp.ndarray):
             emb = _apply(params, spectrograms)
@@ -86,8 +97,10 @@ class MelSolver:
             return self.loss_fn(a, p, n)
 
         self._triplet_step_fn = triplet_step
+        self._triplet_step_watched_fn = triplet_step_watched
         self._eval_loss = jax.jit(eval_loss)
         self._train_step = None
+        self._train_step_watched = None
         self._optimizer = None
         self._schedule = None
 
@@ -116,6 +129,8 @@ class MelSolver:
         # step — donation would invalidate those buffers mid-use
         donate = () if self.async_mining else (0,)
         self._train_step = jax.jit(self._triplet_step_fn, donate_argnums=donate)
+        if self.logger.wants_watch_logs:
+            self._train_step_watched = jax.jit(self._triplet_step_watched_fn, donate_argnums=donate)
         return TrainState(params=params, opt_state=opt_state, step=jnp.zeros((), jnp.int32))
 
     def _miner(self, dataset, params) -> TripletMiner:
@@ -156,13 +171,18 @@ class MelSolver:
         n_steps = len(self.data_train) // self.batch_size
         if self.async_mining:
             return self._train_epoch_async(state, epoch, rng, n_steps)
+        watch_every = self.logger.watch_freq if self.logger.wants_watch_logs else 0
         total = 0.0
         for step in range(n_steps):
             miner = self._miner(self.data_train, state.params)
             a, p, n = miner.mine(self.batch_size, self.mining_type)
             key = jax.random.fold_in(rng, epoch * n_steps + step)
             spec = self._fetch_triplet_batch(self.data_train, a, p, n, key=key)
-            state, loss = self._train_step(state, spec)
+            if watch_every and step % watch_every == 0:
+                state, loss, norms = self._train_step_watched(state, spec)
+                self.logger.log_watch(norms)
+            else:
+                state, loss = self._train_step(state, spec)
             total += float(loss)
             self.logger.log_step(total / (step + 1))
         return state, total / max(n_steps, 1)
@@ -235,11 +255,15 @@ class MelSolver:
 
         rng = jax.random.PRNGKey(self.seed + 1)
         history = {"loss_values": [], "val_loss_values": []}
+        viz_each_epoch = bool(cfg.get_path("DEBUG.visualize_during_training", False))
 
         for epoch in range(start_epoch, epochs):
             t0 = time.perf_counter()
             state, loss_train = self.train_epoch(state, epoch, rng)
             loss_val = self.validate(state.params)
+            if viz_each_epoch:
+                # reference audio_mel/train.py:182 (shipped commented out there)
+                self.visualize(state.params, self.data_val, epoch=epoch)
             dt = time.perf_counter() - t0
             history["loss_values"].append(loss_train)
             history["val_loss_values"].append(loss_val)
@@ -284,6 +308,28 @@ class MelSolver:
 
         self.logger.finish()
         return state, history
+
+    # -- diagnostics ----------------------------------------------------------------
+
+    def visualize(self, params, dataset, *, epoch: int = 0, out_dir: str = "visualization",
+                  kind: str | None = None, batch_size: int = 32) -> dict:
+        """The reference's ``visualize_model`` (audio_mel/train.py:282-342):
+        embed the dataset, silhouette + PCA->t-SNE scatter written as
+        visualization/{png,html}/visualization_{epoch}.{png,html}, uploaded
+        to wandb as Image/Html when recording (train.py:333-339).  In the
+        reference the per-epoch call is shipped commented out
+        (train.py:182); here it is live behind DEBUG.visualize_during_training."""
+        from mer_tpu.core.config import EMOTION_LABELS
+        from mer_tpu.utils.viz import visualize_embeddings
+
+        kind = kind or str(self.config.get_path("DEBUG.visualization_type", "2D"))
+        emb = self.export_embeddings(dataset, params, batch_size=batch_size)
+        out = visualize_embeddings(
+            emb, dataset.get_labels(), out_dir, epoch=epoch, kind=kind,
+            logger=self.logger, label_names=EMOTION_LABELS,
+        )
+        self.logger.print(f"Silhouette score: {out['silhouette']:.6f}")
+        return out
 
     # -- export -------------------------------------------------------------------
 

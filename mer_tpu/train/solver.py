@@ -164,7 +164,7 @@ class Solver:
         model, loss_fn, optimizer = self.model, self.loss_fn, self._optimizer
         batch_to_inputs = self.batch_to_inputs
 
-        def train_step(state: TrainState, batch: dict, rng) -> tuple[TrainState, jnp.ndarray]:
+        def _step_core(state: TrainState, batch: dict, rng):
             step_rng = jax.random.fold_in(rng, state.step)
 
             def compute_loss(params):
@@ -177,7 +177,21 @@ class Solver:
             loss, grads = jax.value_and_grad(compute_loss)(state.params)
             updates, new_opt_state = optimizer.update(grads, state.opt_state, state.params)
             new_params = optax.apply_updates(state.params, updates)
-            return state.replace(params=new_params, opt_state=new_opt_state, step=state.step + 1), loss
+            new_state = state.replace(params=new_params, opt_state=new_opt_state, step=state.step + 1)
+            return new_state, loss, grads
+
+        def train_step(state: TrainState, batch: dict, rng) -> tuple[TrainState, jnp.ndarray]:
+            new_state, loss, _ = _step_core(state, batch, rng)  # grads DCE'd by XLA
+            return new_state, loss
+
+        def train_step_watched(state: TrainState, batch: dict, rng):
+            """wandb.watch analog (reference src/train.py:132-138): the same
+            step, plus per-parameter gradient/parameter L2 norms computed on
+            device. Compiled separately; invoked every watch_freq steps."""
+            from mer_tpu.utils.logging import watch_norms
+
+            new_state, loss, grads = _step_core(state, batch, rng)
+            return new_state, loss, watch_norms(grads, new_state.params, self.logger.watch_log)
 
         def eval_step(params, batch: dict) -> tuple[jnp.ndarray, jnp.ndarray]:
             logits = model.apply({"params": params}, *batch_to_inputs(batch), deterministic=True)
@@ -203,6 +217,7 @@ class Solver:
 
         donate = bool(self.config.get_path("tpu.donate_state", True))
         self._train_step = jax.jit(train_step, donate_argnums=(0,) if donate else ())
+        self._train_step_watched = jax.jit(train_step_watched, donate_argnums=(0,) if donate else ())
         self._scan_train = jax.jit(
             scan_train, static_argnames=("bucket",), donate_argnums=(0,) if donate else ()
         )
@@ -229,10 +244,15 @@ class Solver:
         # stall the dispatch pipeline. Per-step running-loss logging (the
         # reference's wandb semantics) only happens when a logger wants it.
         sync_every_step = self.logger.wants_step_logs
+        watch_every = self.logger.watch_freq if self.logger.wants_watch_logs else 0
         losses = []
         total, batches = 0.0, 0
         for batch in prefetch(batcher, sharding=self.data_sharding):
-            state, loss = self._train_step(state, batch, rng)
+            if watch_every and batches % watch_every == 0:
+                state, loss, norms = self._train_step_watched(state, batch, rng)
+                self.logger.log_watch(norms)
+            else:
+                state, loss = self._train_step(state, batch, rng)
             batches += 1
             if sync_every_step:
                 total += float(loss)

@@ -21,39 +21,18 @@ from mer_tpu.train.checkpoint import restore_into
 CONFIG = os.path.join(REPO_ROOT, "src", "feature_extractors", "audio_mel", "config_audio_mel.yaml")
 
 
-def visualize_embeddings(embeddings: np.ndarray, labels: np.ndarray, out_path: str, kind: str = "2D") -> dict:
-    """PCA(50) -> t-SNE scatter + silhouette score
-    (reference audio_mel/embeddings.py:83-122, train.py:282-342)."""
-    from sklearn.decomposition import PCA
-    from sklearn.manifold import TSNE
-    from sklearn.metrics import silhouette_score
+def visualize_embeddings(embeddings: np.ndarray, labels: np.ndarray, out_dir: str,
+                         kind: str = "2D", logger=None) -> dict:
+    """PCA -> t-SNE scatter (PNG + interactive HTML) + silhouette score +
+    wandb uploads (reference audio_mel/embeddings.py:83-122,
+    train.py:282-342). See mer_tpu.utils.viz for the rendering contract."""
+    from mer_tpu.core.config import EMOTION_LABELS
+    from mer_tpu.utils import viz
 
-    x = embeddings
-    if x.shape[1] > 50:
-        x = PCA(n_components=50).fit_transform(x)
-    n_comp = 3 if kind == "3D" else 2
-    z = TSNE(n_components=n_comp, init="pca", perplexity=min(30, max(5, len(x) // 10))).fit_transform(x)
-    sil = float(silhouette_score(embeddings, labels)) if len(set(labels.tolist())) > 1 else 0.0
-
-    try:
-        import matplotlib
-
-        matplotlib.use("Agg")
-        import matplotlib.pyplot as plt
-
-        fig = plt.figure(figsize=(8, 8))
-        if n_comp == 3:
-            ax = fig.add_subplot(projection="3d")
-            ax.scatter(z[:, 0], z[:, 1], z[:, 2], c=labels, cmap="tab10", s=8)
-        else:
-            plt.scatter(z[:, 0], z[:, 1], c=labels, cmap="tab10", s=8)
-        plt.title(f"t-SNE (silhouette={sil:.4f})")
-        os.makedirs(os.path.dirname(os.path.abspath(out_path)), exist_ok=True)
-        plt.savefig(out_path, dpi=120)
-        plt.close(fig)
-    except ImportError:
-        pass
-    return {"silhouette": sil, "tsne": z}
+    return viz.visualize_embeddings(
+        embeddings, labels, out_dir, kind=kind, logger=logger,
+        label_names=EMOTION_LABELS,
+    )
 
 
 def main(argv=None, save_dir: str = "embeddings/audio_mel"):
@@ -80,8 +59,9 @@ def main(argv=None, save_dir: str = "embeddings/audio_mel"):
         print(f"Saved {mode} embeddings to {out}")
         if mode == "val" and bool(config.get_path("DEBUG.visualize", False)):
             diag = visualize_embeddings(
-                table, ds.get_labels(), os.path.join(save_dir, "tsne_val.png"),
+                table, ds.get_labels(), os.path.join(save_dir, "visualization"),
                 kind=str(config.get_path("DEBUG.visualization_type", "2D")),
+                logger=solver.logger,
             )
             print(f"silhouette score (val): {diag['silhouette']:.4f}")
 

@@ -145,3 +145,79 @@ class TestResNetModel:
         before = variables["batch_stats"]["resnet18"]["bn1"]["mean"]
         after = updated["batch_stats"]["resnet18"]["bn1"]["mean"]
         assert not np.allclose(np.asarray(before), np.asarray(after))
+
+
+class TestSemihardDeviation:
+    """Quantifies the one documented deviation from the reference's semi-hard
+    loop (audio_mel/dataset.py:242-296, spin-until-accept): the batched
+    rejection sampler with a bounded-rounds random fallback.  Shows (a) the
+    fallback never fires at realistic acceptance rates, (b) it fires — and is
+    counted — when NO semi-hard triplet exists (where the reference would
+    hang forever), and (c) the accepted-triplet distribution matches a direct
+    restatement of the reference's sequential rejection sampling."""
+
+    def _setup(self, n=200, d=8, seed=0):
+        rng = np.random.default_rng(seed)
+        table = rng.normal(size=(n, d)).astype(np.float32)
+        labels = rng.integers(0, 7, size=n)
+        return table, labels, (lambda idx: jnp.asarray(table[np.asarray(idx)]))
+
+    def test_fallback_never_fires_at_realistic_acceptance(self):
+        table, labels, embed = self._setup()
+        miner = TripletMiner(labels, embed, seed=0)
+        for _ in range(30):
+            a, p, n = miner.mine(16, "semi-hard", margin=1.0)
+            assert len(a) == 16
+        assert miner.stats["semihard_fallback"] == 0
+        assert miner.stats["semihard_accepted"] == 30 * 16
+
+    def test_fallback_fires_and_counts_when_impossible(self):
+        # margin=0 makes d_an < d_ap + margin unsatisfiable given d_ap < d_an:
+        # the semi-hard band is empty, the reference's loop would never return
+        table, labels, embed = self._setup(seed=1)
+        miner = TripletMiner(labels, embed, seed=0)
+        a, p, n = miner.mine(8, "semi-hard", margin=0.0)
+        assert len(a) == 8  # degrade gracefully, still a full batch
+        assert miner.stats["semihard_fallback"] == 8
+
+    def test_accepted_distribution_matches_sequential_reference(self):
+        """Both samplers accept iid proposals through the same predicate, so
+        the accepted-triplet law must be identical; verify empirically via
+        the d(a,n)-d(a,p) violation statistic (KS distance on ~800 accepted
+        triplets per side)."""
+        table, labels, embed = self._setup(seed=2)
+        margin = 1.0
+
+        def violation(a, p, n):
+            d_ap = np.linalg.norm(table[a] - table[p], axis=-1)
+            d_an = np.linalg.norm(table[a] - table[n], axis=-1)
+            return d_an - d_ap
+
+        # ours: batched rejection
+        miner = TripletMiner(labels, embed, seed=10)
+        got = []
+        while len(got) < 800:
+            a, p, n = miner.mine(32, "semi-hard", margin=margin)
+            got.extend(violation(a, p, n).tolist())
+        assert miner.stats["semihard_fallback"] == 0
+
+        # reference restatement: one proposal at a time, spin until accepted
+        # (audio_mel/dataset.py:242-296)
+        seq_sampler = TripletIndexSampler(labels, seed=99)
+        want = []
+        while len(want) < 800:
+            a, p, n = seq_sampler.sample_random_triplets(1)
+            d_ap = np.linalg.norm(table[a[0]] - table[p[0]])
+            d_an = np.linalg.norm(table[a[0]] - table[n[0]])
+            if d_ap < d_an < d_ap + margin:
+                want.append(d_an - d_ap)
+
+        got, want = np.sort(got[:800]), np.sort(want[:800])
+        # two-sample KS distance; critical value at alpha=0.001 for n=m=800
+        # is ~0.0975 — deterministic seeds keep this far from flaky
+        grid = np.concatenate([got, want])
+        ks = np.max(np.abs(
+            np.searchsorted(got, grid, side="right") / len(got)
+            - np.searchsorted(want, grid, side="right") / len(want)
+        ))
+        assert ks < 0.0975, f"accepted-triplet distributions diverge: KS={ks:.4f}"
