@@ -36,7 +36,9 @@ BATCH = 32
 D = 768
 SEED = 1234
 BASELINE_CACHE = os.path.join(REPO_ROOT, ".bench_baseline.json")
-BASELINE_KEY = f"m2fnet-test-v1-{N_DIALOGUES}x{D}-b{BATCH}"
+# v2: baseline measured over the FULL test workload (v1 extrapolated from
+# 3 batches — fine directionally, fragile as a headline denominator)
+BASELINE_KEY = f"m2fnet-test-v2-{N_DIALOGUES}x{D}-b{BATCH}"
 
 
 def _workload():
@@ -166,12 +168,15 @@ def _torch_m2fnet_baseline():
     return TorchM2FNet().eval()
 
 
-def bench_torch_cpu(batcher, n_utterances: int, max_batches: int = 3) -> float:
-    """Reference-equivalent CPU throughput, extrapolated from a few batches."""
+def bench_torch_cpu(batcher, n_utterances: int, max_batches: int | None = None) -> float:
+    """Reference-equivalent CPU throughput over the FULL test workload
+    (cached in .bench_baseline.json — one slow measurement per machine)."""
     import torch
 
     model = _torch_m2fnet_baseline()
-    batches = list(batcher)[:max_batches]
+    batches = list(batcher)
+    if max_batches is not None:
+        batches = batches[:max_batches]
     utt = sum(int((b["emotion"] != -1).sum()) for b in batches)
     with torch.inference_mode():
         tb = [

@@ -74,6 +74,51 @@ def bench_fusion(results: dict) -> None:
     results["fusion_train_utt_per_s"] = round(n_utt / min(times), 1)
 
 
+def bench_fusion_int8(results: dict) -> None:
+    """int8 serving engine at the same workload as the headline bench:
+    per-channel int8 kernels (4x less weight HBM traffic than f32, 2x vs the
+    bf16 serving path) + int8 MXU GEMMs."""
+    import jax
+    import jax.numpy as jnp
+
+    from bench import _workload
+    from mer_tpu.models import M2FNet
+    from mer_tpu.serving import M2FNetInt8, quantize_m2fnet, quantized_bytes
+
+    batcher, n_utt = _workload()
+    model = M2FNet(scan_layers=True)
+    host_batches = list(batcher)
+    example = host_batches[0]
+    params = model.init(
+        jax.random.PRNGKey(0),
+        jnp.asarray(example["text"]), jnp.asarray(example["audio"]),
+        jnp.asarray(example["padding_mask"]),
+    )["params"]
+    qparams = jax.device_put(quantize_m2fnet(params))
+    results["fusion_int8_weight_mb"] = round(quantized_bytes(qparams) / 1e6, 1)
+    server = M2FNetInt8(model)
+
+    @jax.jit
+    def predict(qp, text, audio, mask):
+        return jnp.argmax(server.apply(qp, text, audio, mask), axis=-1)
+
+    dev_batches = [jax.tree.map(jnp.asarray, b) for b in host_batches]
+    last = None
+    for b in dev_batches:
+        last = predict(qparams, b["text"], b["audio"], b["padding_mask"])
+    np.asarray(last)  # compile + sync (see bench.py protocol)
+    inner = 10
+    times = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        for _ in range(inner):
+            for b in dev_batches:
+                last = predict(qparams, b["text"], b["audio"], b["padding_mask"])
+        np.asarray(last)
+        times.append((time.perf_counter() - t0) / inner)
+    results["fusion_inference_int8_utt_per_s"] = round(n_utt / min(times), 1)
+
+
 def _device_timed(fn, args, iters: int) -> float:
     """Device-chained timing: iters iterations inside one jitted scan with a
     data dependency (immune to per-dispatch tunnel latency)."""
@@ -220,12 +265,14 @@ def bench_e2e(results: dict, data_root: str) -> None:
          "--data-root", data_root, "--toy-tokenizer"],
         capture_output=True, text=True, timeout=3600,
     )
+    results["e2e_streaming_utt_per_s"] = None
     for line in proc.stdout.splitlines():
         if "e2e streaming:" in line:
             # "...in Xs (Y utt/s) ..."
             results["e2e_streaming_utt_per_s"] = float(line.split("(")[1].split(" ")[0])
-            return
-    results["e2e_streaming_utt_per_s"] = None
+        elif "e2e stages:" in line:
+            # per-stage wall-clock breakdown (tunnel-bound vs compute-bound)
+            results["e2e_stages"] = json.loads(line.split("e2e stages:", 1)[1])
 
 
 def main():
@@ -243,6 +290,7 @@ def main():
     bench_kernels(results)
     bench_logmel(results)
     bench_fusion(results)
+    bench_fusion_int8(results)
     bench_mel_pipeline(results, data_root)
     bench_e2e(results, data_root)
 

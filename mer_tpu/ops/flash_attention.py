@@ -112,25 +112,61 @@ def _flash_fwd(q, k, v, key_bias, interpret):
     return out, (q, k, v, key_bias, out, lse)
 
 
+def _flash_bwd_impl(q, k, v, key_bias, out, lse, g, interpret, g_lse=None):
+    if k.shape[2] <= BWD_FUSED_MAX:
+        return _flash_bwd_fused(q, k, v, key_bias, out, lse, g, interpret, g_lse=g_lse)
+    return _flash_bwd_tiled(q, k, v, key_bias, out, lse, g, interpret, g_lse=g_lse)
+
+
 def _flash_bwd(interpret, residuals, g):
     q, k, v, key_bias, out, lse = residuals
-    if k.shape[2] <= BWD_FUSED_MAX:
-        dq, dk, dv = _flash_bwd_fused(q, k, v, key_bias, out, g, interpret)
-    else:
-        dq, dk, dv = _flash_bwd_tiled(q, k, v, key_bias, out, lse, g, interpret)
+    dq, dk, dv = _flash_bwd_impl(q, k, v, key_bias, out, lse, g, interpret)
     return dq, dk, dv, jnp.zeros_like(key_bias)
 
 
 _flash_core.defvjp(_flash_fwd, _flash_bwd)
 
 
-def _bwd_kernel(q_ref, k_ref, v_ref, bias_ref, o_ref, g_ref, dq_ref, dk_ref, dv_ref, *, scale: float):
+# -- stats-returning entry (ring attention composition) ----------------------
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4,))
+def flash_attention_with_lse(q, k, v, key_bias, interpret=False):
+    """Like the flash core but returns ``(out, lse)`` with full gradients —
+    including the lse cotangent, which ring attention's logsumexp merge
+    differentiates through.  Math: lse = logsumexp(s) so dL/ds gains
+    ``p * g_lse``; folded into the existing kernels as
+    ``ds = p * (dp - (delta - g_lse))``.
+
+    Args:
+        key_bias: additive [B, Sk] f32 key bias (0 = attend, -1e30 = ignore).
+    """
+    return _flash_impl(q, k, v, key_bias, interpret, return_stats=True)
+
+
+def _flash_stats_fwd(q, k, v, key_bias, interpret):
+    out, lse = _flash_impl(q, k, v, key_bias, interpret, return_stats=True)
+    return (out, lse), (q, k, v, key_bias, out, lse)
+
+
+def _flash_stats_bwd(interpret, residuals, cotangents):
+    q, k, v, key_bias, out, lse = residuals
+    g_out, g_lse = cotangents
+    dq, dk, dv = _flash_bwd_impl(q, k, v, key_bias, out, lse, g_out, interpret, g_lse=g_lse)
+    return dq, dk, dv, jnp.zeros_like(key_bias)
+
+
+flash_attention_with_lse.defvjp(_flash_stats_fwd, _flash_stats_bwd)
+
+
+def _bwd_kernel(q_ref, k_ref, v_ref, bias_ref, g_ref, delta_ref, dq_ref, dk_ref, dv_ref, *, scale: float):
     """Fused flash-attention backward for one (bh, q-block) grid step.
 
     Recomputes the forward softmax from q/k/bias (cheaper than storing the
-    [Sq, Sk] probabilities), then:
+    [Sq, Sk] probabilities), then with the precomputed per-row
+    delta = rowsum(g * out) - g_lse (the delta trick; g_lse folds the lse
+    cotangent in, zero on the plain path):
         dp    = g @ v^T
-        delta = rowsum(g * out)          (== rowsum(dp * p), the delta trick)
         ds    = p * (dp - delta)
         dq    = (ds @ k) * scale
         dk   += (ds^T @ q) * scale        accumulated across q-blocks
@@ -149,12 +185,12 @@ def _bwd_kernel(q_ref, k_ref, v_ref, bias_ref, o_ref, g_ref, dq_ref, dk_ref, dv_
         dk_ref[0] = jnp.zeros_like(dk_ref[0])
         dv_ref[0] = jnp.zeros_like(dv_ref[0])
 
-    q = q_ref[0]        # [BQ, D]
-    k = k_ref[0]        # [S, D]
-    v = v_ref[0]        # [S, D]
-    g = g_ref[0]        # [BQ, D]
-    o = o_ref[0]        # [BQ, D]
-    bias = bias_ref[0]  # [1, S]
+    q = q_ref[0]          # [BQ, D]
+    k = k_ref[0]          # [S, D]
+    v = v_ref[0]          # [S, D]
+    g = g_ref[0]          # [BQ, D]
+    delta = delta_ref[0]  # [BQ, 1]
+    bias = bias_ref[0]    # [1, S]
 
     s = jax.lax.dot_general(
         q * scale, k,
@@ -170,7 +206,6 @@ def _bwd_kernel(q_ref, k_ref, v_ref, bias_ref, o_ref, g_ref, dq_ref, dk_ref, dv_
         dimension_numbers=(((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
     )                                                   # [BQ, S]
-    delta = jnp.sum(g.astype(jnp.float32) * o.astype(jnp.float32), axis=-1, keepdims=True)
     ds = p * (dp - delta)                               # [BQ, S]
 
     dq_ref[0] = (
@@ -190,7 +225,7 @@ def _bwd_kernel(q_ref, k_ref, v_ref, bias_ref, o_ref, g_ref, dq_ref, dk_ref, dv_
     ).astype(dv_ref.dtype)
 
 
-def _flash_bwd_fused(q, k, v, key_bias, out, g, interpret=False):
+def _flash_bwd_fused(q, k, v, key_bias, out, lse, g, interpret=False, g_lse=None):
     b, h, sq, dh = q.shape
     sk = k.shape[2]
     scale = 1.0 / math.sqrt(dh)
@@ -204,10 +239,17 @@ def _flash_bwd_fused(q, k, v, key_bias, out, g, interpret=False):
             x, ((0, 0), (0, 0), (0, s_target - x.shape[2]), (0, dh_p - dh))
         ).reshape(b * h, s_target, dh_p)
 
-    qp, gp, op = prep(q, sq_p), prep(g, sq_p), prep(out, sq_p)
+    qp, gp = prep(q, sq_p), prep(g, sq_p)
     kp, vp = prep(k, sk_p), prep(v, sk_p)
     bias = jnp.pad(key_bias.astype(jnp.float32), ((0, 0), (0, sk_p - sk)), constant_values=_NEG_INF)
     bias = jnp.broadcast_to(bias[:, None][:, None], (b, h, 1, sk_p)).reshape(b * h, 1, sk_p)
+
+    # delta trick: rowsum(g*out) == rowsum(dp*p); the lse cotangent folds in
+    # as ds = p*(dp - delta + g_lse) = p*(dp - (delta - g_lse))
+    delta = jnp.sum(g.astype(jnp.float32) * out.astype(jnp.float32), axis=-1)    # [b, h, sq]
+    if g_lse is not None:
+        delta = delta - g_lse.astype(jnp.float32)
+    delta = jnp.pad(delta, ((0, 0), (0, 0), (0, sq_p - sq))).reshape(b * h, sq_p, 1)
 
     grid = (b * h, sq_p // block_q)
     dq, dk, dv = pl.pallas_call(
@@ -219,7 +261,7 @@ def _flash_bwd_fused(q, k, v, key_bias, out, g, interpret=False):
             pl.BlockSpec((1, sk_p, dh_p), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1, sk_p), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, block_q, dh_p), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, block_q, dh_p), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_q, 1), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=[
             pl.BlockSpec((1, block_q, dh_p), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM),
@@ -237,7 +279,7 @@ def _flash_bwd_fused(q, k, v, key_bias, out, g, interpret=False):
             transcendentals=b * h * sq_p * sk_p,
         ),
         interpret=interpret,
-    )(qp, kp, vp, bias, op, gp)
+    )(qp, kp, vp, bias, gp, delta)
 
     unprep = lambda x, s: x.reshape(b, h, -1, dh_p)[:, :, :s, :dh]
     return unprep(dq, sq), unprep(dk, sk), unprep(dv, sk)
@@ -466,10 +508,12 @@ def _bwd_dq_kernel(q_ref, g_ref, k_ref, v_ref, bias_ref, lse_ref, delta_ref,
     ).astype(dq_ref.dtype)
 
 
-def _flash_bwd_tiled(q, k, v, key_bias, out, lse, g, interpret=False):
+def _flash_bwd_tiled(q, k, v, key_bias, out, lse, g, interpret=False, g_lse=None):
     """Memory-bounded backward: K/V visited in BLOCK_K tiles (two passes),
     VMEM holds one tile + one q/g block. Exact: uses the forward's saved
-    logsumexp, so p matches the streaming forward bit-for-bit in algebra."""
+    logsumexp, so p matches the streaming forward bit-for-bit in algebra.
+    ``g_lse`` (the lse cotangent from flash_attention_with_lse) folds into
+    the delta term: ds = p * (dp - (delta - g_lse))."""
     b, h, sq, dh = q.shape
     sk = k.shape[2]
     scale = 1.0 / math.sqrt(dh)
@@ -490,6 +534,8 @@ def _flash_bwd_tiled(q, k, v, key_bias, out, lse, g, interpret=False):
 
     # delta_i = rowsum(g * out) (the delta trick); lse from the forward.
     delta = jnp.sum(g.astype(jnp.float32) * out.astype(jnp.float32), axis=-1)   # [b, h, sq]
+    if g_lse is not None:
+        delta = delta - g_lse.astype(jnp.float32)
     delta = jnp.pad(delta, ((0, 0), (0, 0), (0, sq_p - sq))).reshape(b * h, sq_p, 1)
     lse_p = jnp.pad(lse.astype(jnp.float32), ((0, 0), (0, 0), (0, sq_p - sq))).reshape(b * h, sq_p, 1)
 

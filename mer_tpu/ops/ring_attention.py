@@ -84,6 +84,50 @@ def _ring_body(q, k, v, bias, axis_name: str):
     return (acc / jnp.maximum(l, 1e-30)).astype(q.dtype)
 
 
+def _ring_body_kernel(q, k, v, bias, axis_name: str, interpret: bool):
+    """Ring body with the Pallas streaming kernel doing each local block
+    (ROADMAP round-2 item: kernel *inside* the shard_map ring).  Each step
+    runs flash_attention_with_lse on (q, K_t, V_t) — fused scores/softmax/PV
+    on the MXU, no [Sq, Bk] HBM tensor — and the (out, lse) pairs merge
+    across ring steps with exact logsumexp weighting:
+
+        lse'  = logaddexp(lse, lse_t)
+        o'    = o * e^(lse - lse') + o_t * e^(lse_t - lse')
+
+    Backward is the fused/tiled Pallas backward per block (the lse cotangent
+    from the merge rides the kernels' delta term), with autodiff handling the
+    merge + ppermute reversal — so a ring training step never materializes
+    probabilities in HBM either direction."""
+    from mer_tpu.ops.flash_attention import flash_attention_with_lse
+
+    sp = jax.lax.psum(1, axis_name)
+    b, h, sq, dh = q.shape
+
+    o = jnp.zeros((b, h, sq, dh), jnp.float32)
+    lse = jnp.full((b, h, sq), _NEG_INF, jnp.float32)
+
+    perm = [(i, (i + 1) % sp) for i in range(sp)]
+
+    def step(t, carry):
+        k_t, v_t, bias_t, o_t, lse_t = carry
+        rotate = t < sp - 1
+        k_nxt, v_nxt, bias_nxt = jax.lax.cond(
+            rotate,
+            lambda ops: tuple(jax.lax.ppermute(o_, axis_name, perm) for o_ in ops),
+            lambda ops: ops,
+            (k_t, v_t, bias_t),
+        )
+        blk_o, blk_lse = flash_attention_with_lse(q, k_t, v_t, bias_t, interpret)
+        lse_new = jnp.logaddexp(lse_t, blk_lse)
+        w_prev = jnp.exp(lse_t - lse_new)[..., None]
+        w_blk = jnp.exp(blk_lse - lse_new)[..., None]
+        o_new = o_t * w_prev + blk_o.astype(jnp.float32) * w_blk
+        return k_nxt, v_nxt, bias_nxt, o_new, lse_new
+
+    _, _, _, o, lse = jax.lax.fori_loop(0, sp, step, (k, v, bias, o, lse))
+    return o.astype(q.dtype)
+
+
 def ring_attention(
     q: jnp.ndarray,
     k: jnp.ndarray,
@@ -92,6 +136,8 @@ def ring_attention(
     mesh: Mesh,
     key_padding_mask: jnp.ndarray | None = None,
     axis_name: str = "sp",
+    use_kernel: bool | None = None,
+    interpret: bool = False,
 ) -> jnp.ndarray:
     """Context-parallel attention: [B, H, S, Dh] with S sharded over ``sp``.
 
@@ -101,6 +147,10 @@ def ring_attention(
         mesh: mesh containing ``axis_name``.
         key_padding_mask: optional [B, S] bool, True = ignore key (torch
             convention, reference src/model.py:14).
+        use_kernel: run each local block through the Pallas streaming kernel
+            instead of jnp block math. Default (None): kernel on TPU, jnp
+            elsewhere. ``interpret=True`` lets the kernel path run on CPU
+            meshes (tests).
 
     Returns:
         [B, H, S, Dh], sharded like q.
@@ -114,8 +164,13 @@ def ring_attention(
     else:
         bias = jnp.where(key_padding_mask, _NEG_INF, 0.0).astype(jnp.float32)
 
+    if use_kernel is None:
+        use_kernel = jax.default_backend() == "tpu"
     seq = P(None, None, axis_name, None)
-    body = functools.partial(_ring_body, axis_name=axis_name)
+    if use_kernel:
+        body = functools.partial(_ring_body_kernel, axis_name=axis_name, interpret=interpret)
+    else:
+        body = functools.partial(_ring_body, axis_name=axis_name)
     fn = jax.shard_map(
         body,
         mesh=mesh,

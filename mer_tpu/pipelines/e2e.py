@@ -90,30 +90,45 @@ class StreamingPipeline:
 
     # -- stage 1: utterance embeddings ---------------------------------------
 
-    def embed_utterances(self, batches) -> tuple[np.ndarray, np.ndarray]:
+    def embed_utterances(self, batches, stage_times: dict | None = None) -> tuple[np.ndarray, np.ndarray]:
         """Consume mixed host batches with both modalities:
         {"text", "attention_mask", "audio", "lengths", "idx", "emotion"}.
         Returns ([N, Dt], [N, Da]) embedding tables.
 
         Transfers are double-buffered (DevicePrefetcher) and results are
         fetched only after every batch is dispatched, so host->device copies
-        overlap device compute."""
+        overlap device compute.  With ``stage_times`` supplied, records a
+        per-phase wall-clock breakdown: host batch production (wav decode +
+        tokenize, runs in the prefetch thread so it overlaps), dispatch
+        (includes any H2D-transfer stalls), and result fetch (D2H)."""
         from mer_tpu.data.prefetch import prefetch
 
         device_keys = ("text", "attention_mask", "audio", "lengths")
         host = []
+        host_prep = [0.0]
 
         def _device_batches():
-            for b in batches:
+            it = iter(batches)
+            while True:
+                t0 = time.perf_counter()
+                b = next(it, None)
+                host_prep[0] += time.perf_counter() - t0
+                if b is None:
+                    return
                 host.append((b["idx"], b["emotion"]))
                 yield {k: b[k] for k in device_keys}
 
         text_rows, audio_rows, idx_rows = [], [], []
         pending = []
+        t_dispatch = time.perf_counter()
         for i, b in enumerate(prefetch(_device_batches(), buffer_size=4)):
             te = self._text_embed(b["text"], b["attention_mask"])
             ae = self._audio_embed(b["audio"], b["lengths"])
             pending.append((i, te, ae))
+        t_fetch = time.perf_counter()
+        if stage_times is not None:
+            stage_times["embed_host_prep_s"] = round(host_prep[0], 3)
+            stage_times["embed_dispatch_s"] = round(t_fetch - t_dispatch, 3)
         # fetch after all dispatches (keeps the device queue full)
         for i, te, ae in pending:
             idx, emotion = host[i]
@@ -121,6 +136,8 @@ class StreamingPipeline:
             text_rows.append(np.asarray(te)[valid])
             audio_rows.append(np.asarray(ae)[valid])
             idx_rows.append(idx[valid])
+        if stage_times is not None:
+            stage_times["embed_fetch_s"] = round(time.perf_counter() - t_fetch, 3)
         idx = np.concatenate(idx_rows)
         order = np.argsort(idx)
         return (
@@ -155,8 +172,11 @@ class StreamingPipeline:
         df: the get_text dataframe (dialogue structure + labels)."""
         from mer_tpu.core import dialogue_index
 
+        stages: dict = {}
         t0 = time.perf_counter()
-        text_emb, audio_emb = self.embed_utterances(utterance_batches)
+        text_emb, audio_emb = self.embed_utterances(utterance_batches, stage_times=stages)
+        t1 = time.perf_counter()
+        stages["stage1_embed_s"] = round(t1 - t0, 3)
 
         labels = df["Emotion"].to_numpy()
         dialogues = []
@@ -166,8 +186,11 @@ class StreamingPipeline:
                 {"dialogue_id": dia, "text": text_emb[rows], "audio": audio_emb[rows],
                  "emotion": labels[rows].astype(np.int64)}
             )
+        t2 = time.perf_counter()
         y_true, y_pred = self.predict_dialogues(dialogues)
         dt = time.perf_counter() - t0
+        stages["group_s"] = round(t2 - t1, 3)
+        stages["stage2_fusion_s"] = round(dt - (t2 - t0), 3)
 
         metrics = BatchAveragedMetrics()
         metrics.update(y_true, y_pred, mask=np.ones_like(y_true, bool))
@@ -177,6 +200,7 @@ class StreamingPipeline:
             "utterances_per_sec": len(y_true) / dt if timed else None,
             "accuracy": metrics.pooled_accuracy,
             "weighted_f1": metrics.pooled_weighted_f1,
+            "stages": stages,
         }
         return out
 

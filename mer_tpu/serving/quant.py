@@ -1,0 +1,216 @@
+"""int8 quantized serving path for the M2FNet fusion model.
+
+The fusion serving workload is HBM-bandwidth-bound: at the reference batch
+(32 dialogues, <=33 utterances) activations are tiny and every step re-reads
+the full 86.3M-parameter weight set.  Storing the dense kernels as int8
+(per-output-channel symmetric scales) cuts that traffic 2x vs bf16 / 4x vs
+f32, and the GEMMs run as int8 x int8 -> int32 on the MXU (2x bf16 MACs on
+v5e) via ``lax.dot_general(..., preferred_element_type=int32)``.
+
+Recipe:
+- weights: post-training symmetric per-output-channel int8
+  (``scale = max|W| / 127`` over the input axis), biases / LayerNorms f32;
+- activations: dynamic per-row symmetric int8 at each GEMM input (computed
+  on-chip from the live tensor — no calibration set needed);
+- attention score/PV math stays bf16 (activation-activation products over
+  <=33 utterances — negligible traffic, keeps softmax exact in f32).
+
+This is a *serving engine*, not a Flax module: ``quantize_m2fnet`` converts
+a trained/converted param tree once, and ``M2FNetInt8.apply`` is a purely
+functional deterministic forward over the quantized tree (jit/shard as
+usual).  Numerics change (hence separate from the training model, mirroring
+the reference's eval-time ``model.eval()`` contract at src/test.py:35-40);
+tolerance vs the f32 forward is pinned in tests/test_serving_quant.py.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+# ---------------------------------------------------------------------------
+# Quantized primitives
+# ---------------------------------------------------------------------------
+
+
+def quantize_weight(w: jnp.ndarray) -> dict:
+    """Per-output-channel symmetric int8 for a Flax kernel [..., in, out]
+    (leading axes = scan-stacked layers). Returns {"q": int8, "scale": f32}."""
+    w = jnp.asarray(w, jnp.float32)
+    amax = jnp.max(jnp.abs(w), axis=-2, keepdims=True)  # reduce the input axis
+    scale = jnp.maximum(amax / 127.0, 1e-12)
+    q = jnp.clip(jnp.round(w / scale), -127, 127).astype(jnp.int8)
+    return {"q": q, "scale": scale.astype(jnp.float32)}
+
+
+def int8_dense(x: jnp.ndarray, wq: dict, bias: jnp.ndarray | None) -> jnp.ndarray:
+    """y = dequant(quant(x) @ Wq) + b with dynamic per-row activation scales.
+
+    x: [..., K] float; wq["q"]: [K, N] int8; wq["scale"]: [1, N].
+    The GEMM is int8 x int8 -> int32 (MXU native); dequantization is a cheap
+    elementwise rescale by (row_scale * channel_scale).
+    """
+    ax = jnp.max(jnp.abs(x), axis=-1, keepdims=True).astype(jnp.float32)
+    row_scale = jnp.maximum(ax / 127.0, 1e-12)
+    xq = jnp.clip(jnp.round(x / row_scale), -127, 127).astype(jnp.int8)
+    y = jax.lax.dot_general(
+        xq, wq["q"],
+        dimension_numbers=(((x.ndim - 1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32,
+    ).astype(jnp.float32)
+    y = y * row_scale * wq["scale"].reshape(1, -1)
+    if bias is not None:
+        y = y + bias
+    return y
+
+
+def _layer_norm(x: jnp.ndarray, p: dict, eps: float = 1e-5) -> jnp.ndarray:
+    x = x.astype(jnp.float32)
+    mu = jnp.mean(x, axis=-1, keepdims=True)
+    var = jnp.mean(jnp.square(x - mu), axis=-1, keepdims=True)
+    return (x - mu) * jax.lax.rsqrt(var + eps) * p["scale"] + p["bias"]
+
+
+# ---------------------------------------------------------------------------
+# Param-tree quantization
+# ---------------------------------------------------------------------------
+
+
+def quantize_tree(params: Any) -> Any:
+    """Recursively replace every Dense ``{"kernel", "bias"}`` node with its
+    int8 form; LayerNorm ``{"scale", "bias"}`` nodes and everything else stay
+    f32 (they are a negligible fraction of the bytes)."""
+    if isinstance(params, dict):
+        keys = set(params.keys())
+        if "kernel" in keys:
+            out = {"kernel_q": quantize_weight(params["kernel"])}
+            if "bias" in keys:
+                out["bias"] = jnp.asarray(params["bias"], jnp.float32)
+            return out
+        return {k: quantize_tree(v) for k, v in params.items()}
+    return jnp.asarray(params, jnp.float32)
+
+
+def quantize_m2fnet(params: Any) -> Any:
+    """Quantize a trained M2FNet param tree (from Solver / torch_import) for
+    the int8 serving engine. One-time host/device transform."""
+    return quantize_tree(params)
+
+
+def quantized_bytes(qparams: Any) -> int:
+    return sum(x.size * x.dtype.itemsize for x in jax.tree.leaves(qparams))
+
+
+def _dense(x, node):
+    return int8_dense(x, node["kernel_q"], node.get("bias"))
+
+
+# ---------------------------------------------------------------------------
+# Functional M2FNet forward over the quantized tree
+# ---------------------------------------------------------------------------
+
+
+_NEG_INF = -1e30
+
+
+def _attention(q, k, v, num_heads: int, key_padding_mask):
+    """bf16 attention over [B, S, D] projections (activation-activation math;
+    int8 buys nothing at <=33 utterances)."""
+    b, sq, d = q.shape
+    sk = k.shape[1]
+    dh = d // num_heads
+    split = lambda x, s: x.reshape(b, s, num_heads, dh).transpose(0, 2, 1, 3)
+    q, k, v = split(q, sq), split(k, sk), split(v, sk)
+    scale = 1.0 / math.sqrt(dh)
+    s = jnp.einsum(
+        "bhqd,bhkd->bhqk", (q * scale).astype(jnp.bfloat16), k.astype(jnp.bfloat16)
+    ).astype(jnp.float32)
+    if key_padding_mask is not None:
+        s = s + jnp.where(key_padding_mask, _NEG_INF, 0.0)[:, None, None, :]
+    p = jax.nn.softmax(s, axis=-1)
+    out = jnp.einsum("bhqk,bhkd->bhqd", p.astype(jnp.bfloat16), v.astype(jnp.bfloat16))
+    return out.astype(jnp.float32).transpose(0, 2, 1, 3).reshape(b, sq, d)
+
+
+def _mha(x_q, x_kv_key, x_kv_val, p: dict, num_heads: int, mask):
+    """MultiheadAttention parity (models/layers.py:31-75) over int8 weights."""
+    q = _dense(x_q, p["q_proj"])
+    k = _dense(x_kv_key, p["k_proj"])
+    v = _dense(x_kv_val, p["v_proj"])
+    out = _attention(q, k, v, num_heads, mask)
+    return _dense(out, p["out_proj"])
+
+
+def _encoder_layer(x, p: dict, num_heads: int, mask):
+    """Post-LN torch TransformerEncoderLayer (models/layers.py:78-112)."""
+    attn = _mha(x, x, x, p["self_attn"], num_heads, mask)
+    x = _layer_norm(x + attn, p["norm1"])
+    h = jax.nn.relu(_dense(x, p["linear1"]))
+    h = _dense(h, p["linear2"])
+    return _layer_norm(x + h, p["norm2"])
+
+
+def _encoder(x, p: dict, num_heads: int, num_layers: int, mask):
+    """TransformerEncoder (+final LN), supporting both the unrolled
+    (layers_{i}) and scan-stacked (layers_scan, leading L axis) layouts."""
+    if "layers_scan" in p:
+        stacked = p["layers_scan"]["layer"]
+
+        def body(carry, layer_p):
+            return _encoder_layer(carry, layer_p, num_heads, mask), None
+
+        x, _ = jax.lax.scan(body, x, stacked)
+    else:
+        for i in range(num_layers):
+            x = _encoder_layer(x, p[f"layers_{i}"], num_heads, mask)
+    if "norm" in p:
+        x = _layer_norm(x, p["norm"])
+    return x
+
+
+class M2FNetInt8:
+    """Deterministic int8 serving forward for M2FNet.
+
+    Args:
+        model: the (trained) M2FNet Flax module — hyperparameters are read
+            from it so the quantized forward mirrors the exact architecture
+            (reference src/model.py:102-143 semantics, eval mode).
+    """
+
+    def __init__(self, model):
+        if not (model.audio_enabled and model.text_enabled and model.fam_enabled):
+            raise ValueError("int8 serving engine supports the full-modality M2FNet config")
+        self.m = model
+
+    def apply(self, qparams: Any, text: jnp.ndarray, audio: jnp.ndarray,
+              padding_mask: jnp.ndarray) -> jnp.ndarray:
+        m, p = self.m, qparams
+
+        for i in range(m.n_transformers_audio):
+            audio = audio + _encoder(
+                audio, p[f"audio_encoders_{i}"], m.n_head_audio, m.n_layers_audio, padding_mask
+            )
+        audio = _dense(audio, p["audio_proj"])
+
+        for i in range(m.n_transformers_text):
+            text = text + _encoder(
+                text, p[f"text_encoders_{i}"], m.n_head_text, m.n_layers_text, padding_mask
+            )
+        text = _dense(text, p["text_proj"])
+
+        for i in range(m.n_layers_fam):
+            fam = p[f"fusion_layers_{i}"]
+            x = _mha(text, audio, text, fam["multihead_attention"], m.n_head_fam, padding_mask)
+            x = jax.nn.relu(jnp.concatenate([x, text], axis=-1))
+            text = jax.nn.relu(_dense(x, fam["linear"]))
+
+        x = jnp.concatenate([audio, text], axis=-1)
+        x = jax.nn.relu(_dense(x, p["classifier_0"]))
+        for i in range(max(m.n_layers_classifier - 2, 0)):
+            x = jax.nn.relu(_dense(x, p[f"classifier_{i + 1}"]))
+        return _dense(x, p["classifier_out"])

@@ -38,7 +38,9 @@ def timed(fn, args, iters: int) -> float:
     @jax.jit
     def many(q, *rest):
         def body(c, _):
-            out = fn(q + c * 1e-30, *rest)
+            # cast back: a bf16 q promoted by the f32 carry would silently
+            # time the f32 kernel
+            out = fn((q + c * 1e-30).astype(q.dtype), *rest)
             leaf = out[0] if isinstance(out, tuple) else out
             leaf = leaf[0] if isinstance(leaf, tuple) else leaf
             return jnp.sum(leaf) * 1e-30, None
@@ -91,9 +93,14 @@ def main():
 
             return jax.jit(jax.grad(loss, argnums=(0, 1, 2)))
 
+        qb, kb, vb = (x.astype(jnp.bfloat16) for x in (q, k, v))
         row = {
             "xla_fwd_ms": timed(xla_fwd, (q, k, v), iters),
             "pallas_fwd_ms": timed(pal_fwd, (q, k, v), iters),
+            # serving path: bf16 inputs -> bf16 MXU matmuls, f32 accumulation
+            # + f32 softmax inside the kernel (tests/test_flash_attention.py
+            # ::TestFlashAttentionBf16 pins the numerics)
+            "pallas_fwd_bf16_ms": timed(pal_fwd, (qb, kb, vb), iters),
             "xla_fwdbwd_ms": timed(train_of(lambda q, k, v: _attention_reference(
                 q, k, v, key_padding_mask=mask, dropout_rate=0.0,
                 dropout_rng=None, deterministic=True)), (q, k, v), iters),

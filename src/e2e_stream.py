@@ -100,6 +100,9 @@ def main(argv=None):
         f"({result['utterances_per_sec']:.1f} utt/s) "
         f"Accuracy=[{result['accuracy'] * 100:.3f}%] Weighted_F1=[{result['weighted_f1'] * 100:.3f}%]"
     )
+    import json as _json
+
+    print(f"e2e stages: {_json.dumps(result['stages'])}")
     return result
 
 

@@ -141,8 +141,8 @@ class TestFusedBackward:
         else:
             bias = jnp.zeros((b, s), jnp.float32)
 
-        out = _flash_impl(q, k, v, bias, interpret=True)
-        dq, dk, dv = _flash_bwd_fused(q, k, v, bias, out, g, interpret=True)
+        out, lse = _flash_impl(q, k, v, bias, interpret=True, return_stats=True)
+        dq, dk, dv = _flash_bwd_fused(q, k, v, bias, out, lse, g, interpret=True)
         rq, rk, rv = self._ref_grads(q, k, v, bias, g)
         np.testing.assert_allclose(np.asarray(dq), np.asarray(rq), rtol=2e-4, atol=2e-5)
         np.testing.assert_allclose(np.asarray(dk), np.asarray(rk), rtol=2e-4, atol=2e-5)
@@ -159,8 +159,8 @@ class TestFusedBackward:
         g = jnp.asarray(rng.normal(size=(b, h, sq, dh)).astype(np.float32))
         bias = jnp.zeros((b, sk), jnp.float32)
 
-        out = _flash_impl(q, k, v, bias, interpret=True)
-        dq, dk, dv = _flash_bwd_fused(q, k, v, bias, out, g, interpret=True)
+        out, lse = _flash_impl(q, k, v, bias, interpret=True, return_stats=True)
+        dq, dk, dv = _flash_bwd_fused(q, k, v, bias, out, lse, g, interpret=True)
         rq, rk, rv = self._ref_grads(q, k, v, bias, g)
         np.testing.assert_allclose(np.asarray(dq), np.asarray(rq), rtol=2e-4, atol=2e-5)
         np.testing.assert_allclose(np.asarray(dk), np.asarray(rk), rtol=2e-4, atol=2e-5)
@@ -231,3 +231,101 @@ class TestTiledBackward:
         out_1, lse_1 = _flash_impl(q, k, v, bias, interpret=True, force_stream=False, return_stats=True)
         np.testing.assert_allclose(np.asarray(out_s), np.asarray(out_1), rtol=1e-5, atol=1e-6)
         np.testing.assert_allclose(np.asarray(lse_s), np.asarray(lse_1), rtol=1e-5, atol=1e-6)
+
+
+class TestFlashAttentionWithLse:
+    """The stats-returning entry consumed by ring attention: lse correctness
+    and full gradients including the lse cotangent."""
+
+    def _bias(self, b, sk, frac=0.0, seed=1):
+        if not frac:
+            return jnp.zeros((b, sk), jnp.float32)
+        rng = np.random.default_rng(seed)
+        mask = rng.random((b, sk)) < frac
+        mask[:, 0] = False
+        return jnp.where(jnp.asarray(mask), -1e30, 0.0).astype(jnp.float32)
+
+    def test_lse_matches_logsumexp(self):
+        from mer_tpu.ops.flash_attention import flash_attention_with_lse
+
+        q, k, v = _qkv(b=2, h=2, sq=64, sk=96, dh=16, seed=6)
+        bias = self._bias(2, 96, frac=0.3)
+        out, lse = flash_attention_with_lse(q, k, v, bias, True)
+        scale = 1.0 / np.sqrt(16)
+        s = jnp.einsum("bhqd,bhkd->bhqk", q * scale, k) + bias[:, None, None, :]
+        want_lse = jax.scipy.special.logsumexp(s, axis=-1)
+        want_out = jnp.einsum("bhqk,bhkd->bhqd", jax.nn.softmax(s, axis=-1), v)
+        np.testing.assert_allclose(np.asarray(lse), np.asarray(want_lse), rtol=2e-4, atol=2e-5)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(want_out), rtol=2e-4, atol=2e-5)
+
+    @pytest.mark.parametrize("sk", [96, 2200])  # fused bwd vs K-tiled bwd
+    def test_grad_through_out_and_lse(self, sk):
+        """A loss reading BOTH outputs exercises the g_lse -> delta fold in
+        whichever backward kernel the size dispatches to."""
+        from mer_tpu.ops.flash_attention import flash_attention_with_lse
+
+        q, k, v = _qkv(b=1, h=2, sq=48, sk=sk, dh=16, seed=7)
+        bias = self._bias(1, sk, frac=0.2, seed=8)
+        scale = 1.0 / np.sqrt(16)
+
+        def loss_kernel(q, k, v):
+            out, lse = flash_attention_with_lse(q, k, v, bias, True)
+            return jnp.sum(out ** 2) + jnp.sum(jnp.sin(lse))
+
+        def loss_ref(q, k, v):
+            s = jnp.einsum("bhqd,bhkd->bhqk", q * scale, k) + bias[:, None, None, :]
+            lse = jax.scipy.special.logsumexp(s, axis=-1)
+            out = jnp.einsum("bhqk,bhkd->bhqd", jax.nn.softmax(s, axis=-1), v)
+            return jnp.sum(out ** 2) + jnp.sum(jnp.sin(lse))
+
+        g_k = jax.grad(loss_kernel, argnums=(0, 1, 2))(q, k, v)
+        g_r = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+        for gk, gr in zip(g_k, g_r):
+            np.testing.assert_allclose(np.asarray(gk), np.asarray(gr), rtol=1e-3, atol=1e-4)
+
+
+class TestFlashAttentionBf16:
+    """Serving-path numerics: bf16 q/k/v through the kernel = bf16 MXU
+    matmuls with f32 accumulation (preferred_element_type) and f32 softmax
+    temporaries. Tolerances sized for bf16's ~3 decimal digits."""
+
+    def test_bf16_matches_f32_reference(self):
+        q, k, v = _qkv(b=2, h=4, sq=256, sk=256, dh=64, seed=11)
+        rng = np.random.default_rng(12)
+        mask = jnp.asarray(rng.random((2, 256)) < 0.2)
+        want = _attention_reference(
+            q, k, v, key_padding_mask=mask, dropout_rate=0.0, dropout_rng=None, deterministic=True
+        )
+        got = flash_attention(
+            q.astype(jnp.bfloat16), k.astype(jnp.bfloat16), v.astype(jnp.bfloat16),
+            key_padding_mask=mask, interpret=True,
+        )
+        assert got.dtype == jnp.bfloat16
+        np.testing.assert_allclose(
+            np.asarray(got, np.float32), np.asarray(want), rtol=2e-2, atol=2e-2
+        )
+
+    def test_bf16_grads_finite_and_close(self):
+        q, k, v = _qkv(b=1, h=2, sq=128, sk=128, dh=32, seed=13)
+
+        def loss(fn, q, k, v):
+            return jnp.sum(fn(q, k, v).astype(jnp.float32) ** 2)
+
+        g_bf16 = jax.grad(
+            lambda q, k, v: loss(lambda *a: flash_attention(*a, interpret=True), q, k, v),
+            argnums=(0, 1, 2),
+        )(q.astype(jnp.bfloat16), k.astype(jnp.bfloat16), v.astype(jnp.bfloat16))
+        g_f32 = jax.grad(
+            lambda q, k, v: loss(
+                lambda *a: _attention_reference(
+                    *a, key_padding_mask=None, dropout_rate=0.0, dropout_rng=None, deterministic=True
+                ), q, k, v),
+            argnums=(0, 1, 2),
+        )(q, k, v)
+        for gb, gf in zip(g_bf16, g_f32):
+            assert gb.dtype == jnp.bfloat16
+            gb = np.asarray(gb, np.float32)
+            gf = np.asarray(gf)
+            assert np.all(np.isfinite(gb))
+            denom = max(np.abs(gf).max(), 1e-6)
+            assert np.abs(gb - gf).max() / denom < 0.05

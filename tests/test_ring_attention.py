@@ -93,3 +93,46 @@ class TestDispatch:
         got = sequence_parallel_attention(q, k, v, mesh=mesh)
         want = _full(q, k, v)
         np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=2e-5, atol=2e-5)
+
+
+class TestRingAttentionKernelComposed:
+    """The Pallas streaming kernel inside the shard_map ring body
+    (use_kernel=True, interpret mode on the CPU mesh): each local block runs
+    flash_attention_with_lse and blocks merge by logsumexp weighting."""
+
+    @pytest.mark.parametrize("sp", [2, 4])
+    def test_matches_full_attention(self, sp):
+        mesh = make_mesh(dp=1, tp=1, sp=sp)
+        q, k, v = _qkv(b=1, h=2, s=64, dh=16, seed=7)
+        got = ring_attention(q, k, v, mesh=mesh, use_kernel=True, interpret=True)
+        want = _full(q, k, v)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=2e-4, atol=2e-5)
+
+    def test_with_key_padding_mask(self):
+        mesh = make_mesh(dp=1, tp=1, sp=4)
+        q, k, v = _qkv(b=2, h=2, s=64, dh=16, seed=8)
+        rng = np.random.default_rng(9)
+        mask = rng.random((2, 64)) < 0.3
+        mask[:, 0] = False  # keep one attendable key per row
+        mask = jnp.asarray(mask)
+        got = ring_attention(q, k, v, mesh=mesh, key_padding_mask=mask, use_kernel=True, interpret=True)
+        want = _full(q, k, v, mask=mask)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=2e-4, atol=2e-5)
+
+    def test_grad_matches_full_attention(self):
+        """Backward through kernel blocks + logsumexp merge + ppermute
+        reversal: the lse cotangent rides the Pallas backward's delta term."""
+        mesh = make_mesh(dp=1, tp=1, sp=4)
+        q, k, v = _qkv(b=1, h=2, s=32, dh=8, seed=10)
+
+        def loss_ring(q, k, v):
+            out = ring_attention(q, k, v, mesh=mesh, use_kernel=True, interpret=True)
+            return jnp.sum(out ** 2)
+
+        def loss_full(q, k, v):
+            return jnp.sum(_full(q, k, v) ** 2)
+
+        g_ring = jax.grad(loss_ring, argnums=(0, 1, 2))(q, k, v)
+        g_full = jax.grad(loss_full, argnums=(0, 1, 2))(q, k, v)
+        for gr, gf in zip(g_ring, g_full):
+            np.testing.assert_allclose(np.asarray(gr), np.asarray(gf), rtol=5e-4, atol=5e-5)
