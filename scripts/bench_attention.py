@@ -43,7 +43,8 @@ def timed(fn, args, iters: int) -> float:
             out = fn((q + c * 1e-30).astype(q.dtype), *rest)
             leaf = out[0] if isinstance(out, tuple) else out
             leaf = leaf[0] if isinstance(leaf, tuple) else leaf
-            return jnp.sum(leaf) * 1e-30, None
+            # f32 carry regardless of leaf dtype (scan carry must be stable)
+            return jnp.sum(leaf).astype(jnp.float32) * 1e-30, None
 
         c, _ = jax.lax.scan(body, jnp.float32(0), None, length=iters)
         return c

@@ -60,6 +60,12 @@ class TestStreamingPipeline:
         assert result["n_utterances"] == sizes["val"]
         assert 0.0 <= result["accuracy"] <= 1.0
         assert result["utterances_per_sec"] > 0
+        # per-stage breakdown (tunnel-bound vs compute-bound attribution)
+        stages = result["stages"]
+        for key in ("embed_host_prep_s", "embed_dispatch_s", "embed_fetch_s",
+                    "stage1_embed_s", "group_s", "stage2_fusion_s"):
+            assert stages[key] >= 0.0
+        assert stages["stage1_embed_s"] + stages["group_s"] + stages["stage2_fusion_s"] <= result["seconds"] + 0.1
 
 
 class TestFusionCheckpointImport:
