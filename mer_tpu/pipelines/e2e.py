@@ -23,7 +23,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from mer_tpu.data.fusion import DEFAULT_LENGTH_BUCKETS, collate_dialogues
+from mer_tpu.data.fusion import DEFAULT_LENGTH_BUCKETS, collate_dialogues, pick_bucket
 from mer_tpu.models.m2fnet import M2FNet
 from mer_tpu.models.roberta import TextERC
 from mer_tpu.models.wav2vec2 import AudioERC
@@ -84,16 +84,42 @@ class StreamingPipeline:
                 self.m.fusion_model.apply({"params": params}, text, audio, mask), axis=-1
             )
         )
+
+        # device-resident stage1->stage2 handoff: the utterance embedding
+        # tables never leave HBM; dialogue grouping is this jitted gather from
+        # the flat [N, D] tables (idxm rows of -1 = padding), so the only D2H
+        # traffic of the whole pipeline is the tiny [B, U] prediction arrays.
+        # (The host-table path fetched [N, 768] x2 over the host link — ~87%
+        # of stage-1 wall clock on tunneled hosts, BENCH_LOCAL e2e_stages.)
+        def _fusion_from_tables(params, table_t, table_a, idxm, mask):
+            safe = jnp.maximum(idxm, 0)
+            valid = (idxm >= 0)[..., None]
+            text = jnp.where(valid, table_t[safe], 0)
+            audio = jnp.where(valid, table_a[safe], 0)
+            return jnp.argmax(
+                self.m.fusion_model.apply({"params": params}, text, audio, mask), axis=-1
+            )
+
+        self._fusion_tables_fn = jax.jit(_fusion_from_tables)
         self._text_embed = lambda ids, mask: self._text_embed_fn(self.m.text_params, ids, mask)
         self._audio_embed = lambda audio, lengths: self._audio_embed_fn(self.m.audio_params, audio, lengths)
         self._fusion = lambda text, audio, mask: self._fusion_fn(self.m.fusion_params, text, audio, mask)
+        self._fusion_tables = lambda tt, ta, idxm, mask: self._fusion_tables_fn(
+            self.m.fusion_params, tt, ta, idxm, mask
+        )
 
     # -- stage 1: utterance embeddings ---------------------------------------
 
-    def embed_utterances(self, batches, stage_times: dict | None = None) -> tuple[np.ndarray, np.ndarray]:
+    def embed_utterances(self, batches, stage_times: dict | None = None, fetch: bool = True):
         """Consume mixed host batches with both modalities:
         {"text", "attention_mask", "audio", "lengths", "idx", "emotion"}.
-        Returns ([N, Dt], [N, Da]) embedding tables.
+
+        ``fetch=True`` returns host ([N, Dt], [N, Da]) embedding tables in
+        dataset-row order.  ``fetch=False`` keeps the tables in HBM and
+        returns ``(table_t, table_a, pos)`` where the tables are flat
+        device arrays in dispatch order and ``pos[row] -> table position``
+        maps dataset rows into them (for the device-resident gather handoff;
+        nothing bigger than the per-batch dispatch queue touches the host).
 
         Transfers are double-buffered (DevicePrefetcher) and results are
         fetched only after every batch is dispatched, so host->device copies
@@ -129,6 +155,22 @@ class StreamingPipeline:
         if stage_times is not None:
             stage_times["embed_host_prep_s"] = round(host_prep[0], 3)
             stage_times["embed_dispatch_s"] = round(t_fetch - t_dispatch, 3)
+        if not fetch:
+            # flat HBM tables in dispatch order (one concatenate dispatch);
+            # pos maps dataset rows -> table positions (first occurrence wins,
+            # duplicate rows are batch padding with emotion == -1)
+            table_t = jnp.concatenate([te for _, te, _ in pending], axis=0)
+            table_a = jnp.concatenate([ae for _, _, ae in pending], axis=0)
+            n_rows = 1 + max(int(np.max(idx)) for idx, _ in host)
+            pos = np.full((n_rows,), -1, np.int64)
+            batch_rows = pending[0][1].shape[0]
+            for i, (idx, emotion) in enumerate(host):
+                valid = emotion != -1
+                pos[idx[valid]] = i * batch_rows + np.nonzero(valid)[0]
+            assert (pos >= 0).all(), "utterance rows missing from the stream"
+            if stage_times is not None:
+                stage_times["embed_fetch_s"] = 0.0  # tables stay in HBM
+            return table_t, table_a, pos
         # fetch after all dispatches (keeps the device queue full)
         for i, te, ae in pending:
             idx, emotion = host[i]
@@ -165,29 +207,81 @@ class StreamingPipeline:
             y_pred.append(preds[mask])
         return np.concatenate(y_true), np.concatenate(y_pred)
 
+    def predict_dialogues_from_tables(self, table_t, table_a, dialogues: list[dict]) -> tuple[np.ndarray, np.ndarray]:
+        """Device-resident stage 2: gather dialogue batches straight from the
+        HBM embedding tables and fetch only the [B, U] predictions.
+        dialogues: [{"rows": [U] table positions, "emotion": [U]}]."""
+        pending = []
+        for i in range(0, len(dialogues), self.dialogue_batch):
+            chunk = dialogues[i : i + self.dialogue_batch]
+            u = pick_bucket(max(len(d["rows"]) for d in chunk), self.buckets)
+            idxm = np.full((self.dialogue_batch, u), -1, np.int32)
+            emotion = np.full((self.dialogue_batch, u), -1, np.int64)
+            for k, d in enumerate(chunk):
+                n = len(d["rows"])
+                idxm[k, :n] = d["rows"]
+                emotion[k, :n] = d["emotion"]
+            padding_mask = emotion == -1
+            # collate_dialogues parity: all-pad rows keep one attendable key
+            empty_rows = padding_mask.all(axis=1)
+            padding_mask[empty_rows, 0] = False
+            preds = self._fusion_tables(
+                table_t, table_a, jnp.asarray(idxm), jnp.asarray(padding_mask)
+            )
+            pending.append((emotion, preds))
+        # ONE fused D2H transfer for all batches (each np.asarray pays a full
+        # host-link round trip; on tunneled hosts that latency dominated)
+        flat = np.asarray(jnp.concatenate([p.reshape(-1) for _, p in pending]))
+        y_true, y_pred, off = [], [], 0
+        for emotion, p in pending:
+            preds = flat[off : off + p.size].reshape(p.shape)
+            off += p.size
+            mask = emotion != -1
+            y_true.append(emotion[mask])
+            y_pred.append(preds[mask])
+        return np.concatenate(y_true), np.concatenate(y_pred)
+
     # -- full run -------------------------------------------------------------
 
-    def run(self, utterance_batches, df, timed: bool = True) -> dict:
+    def run(self, utterance_batches, df, timed: bool = True, device_resident: bool = True) -> dict:
         """utterance_batches: host iterator of mixed-modality batches;
-        df: the get_text dataframe (dialogue structure + labels)."""
+        df: the get_text dataframe (dialogue structure + labels).
+
+        ``device_resident=True`` (default) hands stage-1 embeddings to the
+        fusion stage as HBM-resident tables + a jitted gather; only the tiny
+        prediction arrays cross back to the host.  ``False`` restores the
+        host-table path (fetch [N, D] tables, group on host, re-upload) —
+        useful when the embedding tables themselves are the product."""
         from mer_tpu.core import dialogue_index
 
         stages: dict = {}
-        t0 = time.perf_counter()
-        text_emb, audio_emb = self.embed_utterances(utterance_batches, stage_times=stages)
-        t1 = time.perf_counter()
-        stages["stage1_embed_s"] = round(t1 - t0, 3)
-
         labels = df["Emotion"].to_numpy()
-        dialogues = []
-        for dia, rows in dialogue_index(df).items():
-            rows = np.asarray(rows)
-            dialogues.append(
-                {"dialogue_id": dia, "text": text_emb[rows], "audio": audio_emb[rows],
-                 "emotion": labels[rows].astype(np.int64)}
+        t0 = time.perf_counter()
+        if device_resident:
+            table_t, table_a, pos = self.embed_utterances(
+                utterance_batches, stage_times=stages, fetch=False
             )
-        t2 = time.perf_counter()
-        y_true, y_pred = self.predict_dialogues(dialogues)
+            t1 = time.perf_counter()
+            stages["stage1_embed_s"] = round(t1 - t0, 3)
+            dialogues = [
+                {"rows": pos[np.asarray(rows)], "emotion": labels[np.asarray(rows)].astype(np.int64)}
+                for rows in dialogue_index(df).values()
+            ]
+            t2 = time.perf_counter()
+            y_true, y_pred = self.predict_dialogues_from_tables(table_t, table_a, dialogues)
+        else:
+            text_emb, audio_emb = self.embed_utterances(utterance_batches, stage_times=stages)
+            t1 = time.perf_counter()
+            stages["stage1_embed_s"] = round(t1 - t0, 3)
+            dialogues = []
+            for dia, rows in dialogue_index(df).items():
+                rows = np.asarray(rows)
+                dialogues.append(
+                    {"dialogue_id": dia, "text": text_emb[rows], "audio": audio_emb[rows],
+                     "emotion": labels[rows].astype(np.int64)}
+                )
+            t2 = time.perf_counter()
+            y_true, y_pred = self.predict_dialogues(dialogues)
         dt = time.perf_counter() - t0
         stages["group_s"] = round(t2 - t1, 3)
         stages["stage2_fusion_s"] = round(dt - (t2 - t0), 3)

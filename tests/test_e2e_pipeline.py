@@ -56,7 +56,7 @@ class TestStreamingPipeline:
         )
         pipeline = StreamingPipeline(models, utterance_batch=8, dialogue_batch=4)
         batches = mixed_utterance_batches(text_ds, w2v_ds, batch_size=8, seconds_buckets=(1.0,))
-        result = pipeline.run(batches, df)
+        result = pipeline.run(batches, df)  # device-resident handoff (default)
         assert result["n_utterances"] == sizes["val"]
         assert 0.0 <= result["accuracy"] <= 1.0
         assert result["utterances_per_sec"] > 0
@@ -66,6 +66,14 @@ class TestStreamingPipeline:
                     "stage1_embed_s", "group_s", "stage2_fusion_s"):
             assert stages[key] >= 0.0
         assert stages["stage1_embed_s"] + stages["group_s"] + stages["stage2_fusion_s"] <= result["seconds"] + 0.1
+
+        # the host-table path must produce the same metrics: the device
+        # gather handoff is a transport change, not a numerics change
+        batches2 = mixed_utterance_batches(text_ds, w2v_ds, batch_size=8, seconds_buckets=(1.0,))
+        host_result = pipeline.run(batches2, df, device_resident=False)
+        assert host_result["n_utterances"] == result["n_utterances"]
+        np.testing.assert_allclose(host_result["accuracy"], result["accuracy"], atol=1e-9)
+        np.testing.assert_allclose(host_result["weighted_f1"], result["weighted_f1"], atol=1e-9)
 
 
 class TestFusionCheckpointImport:
