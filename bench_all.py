@@ -119,6 +119,82 @@ def bench_fusion_int8(results: dict) -> None:
     results["fusion_inference_int8_utt_per_s"] = round(n_utt / min(times), 1)
 
 
+def bench_fe_export_int8(results: dict) -> None:
+    """Stage-1 embedding export: bf16 Flax backbone vs the int8 serving
+    engine (serving/encoders.py) on device-resident batches — RoBERTa-base
+    [CLS] export and wav2vec2-base mean-pool export at working shapes
+    (reference text/embeddings.py, audio_wav2vec2/embeddings.py)."""
+    import jax
+    import jax.numpy as jnp
+
+    from mer_tpu.models.roberta import RobertaConfig, TextERC
+    from mer_tpu.models.wav2vec2 import AudioERC, Wav2Vec2Config
+    from mer_tpu.serving import (
+        RobertaInt8, Wav2Vec2Int8, quantize_roberta, quantize_wav2vec2,
+    )
+
+    rng = np.random.default_rng(0)
+
+    def timed_loop(fn, batches, n_items, label):
+        last = None
+        for b in batches:
+            last = fn(*b)
+        np.asarray(last)  # compile + sync
+        inner = 4
+        times = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            for _ in range(inner):
+                for b in batches:
+                    last = fn(*b)
+            np.asarray(last)
+            times.append((time.perf_counter() - t0) / inner)
+        results[label] = round(n_items / min(times), 1)
+
+    # --- RoBERTa-base, batch 32 x 128 tokens (typical context-window width)
+    text_model = TextERC(RobertaConfig.base(), dtype=jnp.bfloat16, scan_layers=True)
+    ids0 = jnp.asarray(rng.integers(2, 50000, size=(32, 128)).astype(np.int32))
+    mask0 = jnp.ones((32, 128), jnp.int32)
+    params = text_model.init(jax.random.PRNGKey(0), ids0, mask0)["params"]
+    bf16_params = jax.device_put(jax.tree.map(lambda x: jnp.asarray(x, jnp.bfloat16), params))
+    embed_bf16 = jax.jit(
+        lambda p, ids, m: text_model.apply({"params": p}, ids, m, method=TextERC.embed)
+    )
+    qp = jax.device_put(quantize_roberta(params))
+    server = RobertaInt8(text_model)
+    embed_int8 = jax.jit(server.embed)
+
+    batches = [
+        (jnp.asarray(rng.integers(2, 50000, size=(32, 128)).astype(np.int32)), mask0)
+        for _ in range(8)
+    ]
+    n = 32 * len(batches)
+    timed_loop(lambda ids, m: embed_bf16(bf16_params, ids, m), batches, n, "roberta_export_bf16_utt_per_s")
+    timed_loop(lambda ids, m: embed_int8(qp, ids, m), batches, n, "roberta_export_int8_utt_per_s")
+    del params, bf16_params, qp
+
+    # --- wav2vec2-base, batch 8 x 4 s (reference truncates at 10 s)
+    audio_model = AudioERC(Wav2Vec2Config.base(), dtype=jnp.bfloat16, scan_layers=True)
+    waves0 = jnp.asarray(rng.normal(size=(8, 64000)).astype(np.float32) * 0.1)
+    lens0 = jnp.full((8,), 64000, jnp.int32)
+    aparams = audio_model.init(jax.random.PRNGKey(1), waves0, lens0)["params"]
+    abf16 = jax.device_put(jax.tree.map(lambda x: jnp.asarray(x, jnp.bfloat16), aparams))
+    aembed_bf16 = jax.jit(
+        lambda p, w, l: audio_model.apply({"params": p}, w, l, method=AudioERC.embed)
+    )
+    aqp = jax.device_put(quantize_wav2vec2(aparams))
+    aserver = Wav2Vec2Int8(audio_model)
+    aembed_int8 = jax.jit(aserver.embed)
+
+    abatches = [
+        (jnp.asarray(rng.normal(size=(8, 64000)).astype(np.float32) * 0.1), lens0)
+        for _ in range(4)
+    ]
+    an = 8 * len(abatches)
+    timed_loop(lambda w, l: aembed_bf16(abf16, w, l), abatches, an, "wav2vec2_export_bf16_utt_per_s")
+    timed_loop(lambda w, l: aembed_int8(aqp, w, l), abatches, an, "wav2vec2_export_int8_utt_per_s")
+
+
 def _device_timed(fn, args, iters: int) -> float:
     """Device-chained timing: iters iterations inside one jitted scan with a
     data dependency (immune to per-dispatch tunnel latency)."""
@@ -291,6 +367,7 @@ def main():
     bench_logmel(results)
     bench_fusion(results)
     bench_fusion_int8(results)
+    bench_fe_export_int8(results)
     bench_mel_pipeline(results, data_root)
     bench_e2e(results, data_root)
 

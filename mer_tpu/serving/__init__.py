@@ -1,5 +1,13 @@
+from mer_tpu.serving.encoders import (
+    RobertaInt8,
+    Wav2Vec2Int8,
+    quantize_roberta,
+    quantize_wav2vec2,
+)
 from mer_tpu.serving.quant import (
     M2FNetInt8,
+    apply_calibration,
+    calibration,
     int8_dense,
     quantize_m2fnet,
     quantize_tree,
@@ -9,9 +17,15 @@ from mer_tpu.serving.quant import (
 
 __all__ = [
     "M2FNetInt8",
+    "RobertaInt8",
+    "Wav2Vec2Int8",
+    "apply_calibration",
+    "calibration",
     "int8_dense",
     "quantize_m2fnet",
+    "quantize_roberta",
     "quantize_tree",
+    "quantize_wav2vec2",
     "quantize_weight",
     "quantized_bytes",
 ]

@@ -48,22 +48,31 @@ def quantize_weight(w: jnp.ndarray) -> dict:
     return {"q": q, "scale": scale.astype(jnp.float32)}
 
 
-def int8_dense(x: jnp.ndarray, wq: dict, bias: jnp.ndarray | None) -> jnp.ndarray:
-    """y = dequant(quant(x) @ Wq) + b with dynamic per-row activation scales.
+def int8_dense(x: jnp.ndarray, wq: dict, bias: jnp.ndarray | None,
+               act_scale: jnp.ndarray | None = None) -> jnp.ndarray:
+    """y = dequant(quant(x) @ Wq) + b.
 
     x: [..., K] float; wq["q"]: [K, N] int8; wq["scale"]: [1, N].
     The GEMM is int8 x int8 -> int32 (MXU native); dequantization is a cheap
-    elementwise rescale by (row_scale * channel_scale).
+    elementwise rescale by (activation_scale * channel_scale).
+
+    Activation quantization: dynamic per-row symmetric by default (abs-max
+    reduction over the live tensor); with ``act_scale`` (a calibrated scalar,
+    see ``calibration``) the reduction is skipped and quantization is
+    deterministic batch-to-batch.
     """
-    ax = jnp.max(jnp.abs(x), axis=-1, keepdims=True).astype(jnp.float32)
-    row_scale = jnp.maximum(ax / 127.0, 1e-12)
-    xq = jnp.clip(jnp.round(x / row_scale), -127, 127).astype(jnp.int8)
+    if act_scale is None:
+        ax = jnp.max(jnp.abs(x), axis=-1, keepdims=True).astype(jnp.float32)
+        a_scale = jnp.maximum(ax / 127.0, 1e-12)
+    else:
+        a_scale = act_scale
+    xq = jnp.clip(jnp.round(x / a_scale), -127, 127).astype(jnp.int8)
     y = jax.lax.dot_general(
         xq, wq["q"],
         dimension_numbers=(((x.ndim - 1,), (0,)), ((), ())),
         preferred_element_type=jnp.int32,
     ).astype(jnp.float32)
-    y = y * row_scale * wq["scale"].reshape(1, -1)
+    y = y * a_scale * wq["scale"].reshape(1, -1)
     if bias is not None:
         y = y + bias
     return y
@@ -81,19 +90,26 @@ def _layer_norm(x: jnp.ndarray, p: dict, eps: float = 1e-5) -> jnp.ndarray:
 # ---------------------------------------------------------------------------
 
 
-def quantize_tree(params: Any) -> Any:
+def quantize_tree(params: Any, skip_subtrees: tuple[str, ...] = ()) -> Any:
     """Recursively replace every Dense ``{"kernel", "bias"}`` node with its
     int8 form; LayerNorm ``{"scale", "bias"}`` nodes and everything else stay
-    f32 (they are a negligible fraction of the bytes)."""
-    if isinstance(params, dict):
-        keys = set(params.keys())
-        if "kernel" in keys:
-            out = {"kernel_q": quantize_weight(params["kernel"])}
-            if "bias" in keys:
-                out["bias"] = jnp.asarray(params["bias"], jnp.float32)
-            return out
-        return {k: quantize_tree(v) for k, v in params.items()}
-    return jnp.asarray(params, jnp.float32)
+    f32 (they are a negligible fraction of the bytes).
+
+    ``skip_subtrees`` names path components whose kernels must stay float —
+    conv stacks whose [k, in, out] kernels don't fit the per-output-channel
+    GEMM scheme (e.g. wav2vec2's feature_extractor / pos_conv_embed)."""
+
+    def rec(node, path):
+        if isinstance(node, dict):
+            if "kernel" in node and not any(s in path for s in skip_subtrees):
+                out = {"kernel_q": quantize_weight(node["kernel"])}
+                if "bias" in node:
+                    out["bias"] = jnp.asarray(node["bias"], jnp.float32)
+                return out
+            return {k: rec(v, path + (k,)) for k, v in node.items()}
+        return jnp.asarray(node, jnp.float32)
+
+    return rec(params, ())
 
 
 def quantize_m2fnet(params: Any) -> Any:
@@ -107,7 +123,120 @@ def quantized_bytes(qparams: Any) -> int:
 
 
 def _dense(x, node):
-    return int8_dense(x, node["kernel_q"], node.get("bias"))
+    if _CALIBRATION_SINK is not None:
+        # eager observer pass: record the largest |activation| seen per site.
+        # Sites are identified by the node object inside the qparams tree;
+        # per-layer slices of scan-stacked nodes carry an explicit "_site"
+        # (stacked-node id, layer) key instead (see scan_stacked).
+        amax = float(jnp.max(jnp.abs(x)))
+        key = node.get("_site", id(node))
+        _CALIBRATION_SINK[key] = max(_CALIBRATION_SINK.get(key, 0.0), amax)
+    return int8_dense(x, node["kernel_q"], node.get("bias"), node.get("act_scale"))
+
+
+def _slice_stacked(node, i: int):
+    """Layer ``i`` of a scan-stacked qparams subtree, annotating each dense
+    node with its calibration site (stacked-node id, layer)."""
+    if isinstance(node, dict):
+        if "kernel_q" in node:
+            out = {k: jax.tree.map(lambda a: a[i], v) if k != "_site" else v for k, v in node.items()}
+            out["_site"] = (id(node), i)
+            return out
+        return {k: _slice_stacked(v, i) for k, v in node.items()}
+    return node[i]
+
+
+def scan_stacked(layer_fn, carry, stacked):
+    """lax.scan ``layer_fn`` over a scan-stacked qparams subtree.
+
+    During a calibration pass the scan is unrolled in Python (lax.scan traces
+    its body, so eager activation observation is impossible inside it) with
+    per-layer site annotations; stacked ``act_scale`` entries are stored as
+    [L] arrays so the production scan slices a scalar per layer."""
+    if _CALIBRATION_SINK is not None:
+        n_layers = jax.tree.leaves(stacked)[0].shape[0]
+        for i in range(n_layers):
+            carry = layer_fn(carry, _slice_stacked(stacked, i))
+        return carry
+
+    def body(c, layer_p):
+        return layer_fn(c, layer_p), None
+
+    carry, _ = jax.lax.scan(body, carry, stacked)
+    return carry
+
+
+# ---------------------------------------------------------------------------
+# Static activation calibration (quantization-aware serving)
+# ---------------------------------------------------------------------------
+
+
+_CALIBRATION_SINK: dict | None = None
+
+
+class calibration:
+    """Context manager for post-training static activation calibration.
+
+    Run representative batches through an int8 engine's (un-jitted) forward
+    inside this context; every quantized GEMM site records the largest
+    activation magnitude it sees.  ``apply_calibration`` then bakes the
+    resulting per-tensor scales into the qparams tree, after which serving
+    skips the per-row abs-max reduction and quantization is deterministic::
+
+        qp = quantize_m2fnet(params)
+        with calibration() as sink:
+            for b in calib_batches:          # EAGER — do not jit this pass
+                server.apply(qp, b["text"], b["audio"], b["padding_mask"])
+        qp = apply_calibration(qp, sink)     # static scales baked in
+        predict = jax.jit(server.apply)      # jit as usual
+    """
+
+    def __init__(self):
+        self.sink: dict[int, float] = {}
+
+    def __enter__(self):
+        global _CALIBRATION_SINK
+        assert _CALIBRATION_SINK is None, "nested calibration contexts"
+        _CALIBRATION_SINK = self.sink
+        return self.sink
+
+    def __exit__(self, *exc):
+        global _CALIBRATION_SINK
+        _CALIBRATION_SINK = None
+        return False
+
+
+def apply_calibration(qparams: Any, sink: dict, headroom: float = 1.0) -> Any:
+    """Bake observed activation abs-max values into the qparams tree as
+    static per-tensor ``act_scale`` entries (scale = headroom * amax / 127).
+    Scan-stacked dense nodes (sites keyed (node id, layer)) get an [L] array
+    that the production lax.scan slices per layer.  Sites never exercised
+    during calibration keep dynamic quantization."""
+
+    def scale_of(amax: float):
+        return max(headroom * amax / 127.0, 1e-12)
+
+    def rec(node):
+        if isinstance(node, dict):
+            if "kernel_q" in node:
+                if node["kernel_q"]["q"].ndim == 3:  # scan-stacked [L, K, N]
+                    n_layers = node["kernel_q"]["q"].shape[0]
+                    per_layer = [sink.get((id(node), i)) for i in range(n_layers)]
+                    if any(a is None or a <= 0.0 for a in per_layer):
+                        return node
+                    out = dict(node)
+                    out["act_scale"] = jnp.asarray([scale_of(a) for a in per_layer], jnp.float32)
+                    return out
+                amax = sink.get(id(node))
+                if amax is None or amax <= 0.0:
+                    return node
+                out = dict(node)
+                out["act_scale"] = jnp.float32(scale_of(amax))
+                return out
+            return {k: rec(v) for k, v in node.items()}
+        return node
+
+    return rec(qparams)
 
 
 # ---------------------------------------------------------------------------
@@ -159,12 +288,10 @@ def _encoder(x, p: dict, num_heads: int, num_layers: int, mask):
     """TransformerEncoder (+final LN), supporting both the unrolled
     (layers_{i}) and scan-stacked (layers_scan, leading L axis) layouts."""
     if "layers_scan" in p:
-        stacked = p["layers_scan"]["layer"]
-
-        def body(carry, layer_p):
-            return _encoder_layer(carry, layer_p, num_heads, mask), None
-
-        x, _ = jax.lax.scan(body, x, stacked)
+        x = scan_stacked(
+            lambda carry, layer_p: _encoder_layer(carry, layer_p, num_heads, mask),
+            x, p["layers_scan"]["layer"],
+        )
     else:
         for i in range(num_layers):
             x = _encoder_layer(x, p[f"layers_{i}"], num_heads, mask)

@@ -48,10 +48,21 @@ def main(argv=None, save_dir: str = "embeddings/audio_wav2vec2"):
     else:
         raise ValueError("Checkpoint not found")
 
-    params = jax.device_put(params)  # avoid per-call transfer of numpy trees
-    embed = jax.jit(
-        lambda p, audio, lengths: model.apply({"params": p}, audio.astype("float32") / 32768.0 if str(audio.dtype) == "int16" else audio, lengths, method=AudioERC.embed)
-    )
+    def _norm(audio):
+        return audio.astype("float32") / 32768.0 if str(audio.dtype) == "int16" else audio
+
+    if args.int8:
+        from mer_tpu.serving import Wav2Vec2Int8, quantize_wav2vec2
+
+        params = jax.device_put(quantize_wav2vec2(params))
+        server = Wav2Vec2Int8(model)
+        embed = jax.jit(lambda p, audio, lengths: server.embed(p, _norm(audio), lengths))
+        print("int8 serving engine enabled")
+    else:
+        params = jax.device_put(params)  # avoid per-call transfer of numpy trees
+        embed = jax.jit(
+            lambda p, audio, lengths: model.apply({"params": p}, _norm(audio), lengths, method=AudioERC.embed)
+        )
 
     for mode in ["train", "val", "test"]:
         ds = Wav2Vec2FeatureDataset(mode, data_root=args.data_root)

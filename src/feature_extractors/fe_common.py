@@ -31,6 +31,9 @@ def parse_args(argv=None, default_config: str | None = None):
                    help="HF model name or local path for the backbone weights")
     p.add_argument("--variant", default=None,
                    help="text pipeline: roberta-base (default) or roberta-large")
+    p.add_argument("--int8", action="store_true",
+                   help="embedding export: int8 serving engine (mer_tpu/serving) "
+                        "— 4x less weight HBM traffic than f32")
     return p.parse_args(argv)
 
 

@@ -49,10 +49,18 @@ def main(argv=None, save_dir: str = "embeddings/text"):
     else:
         raise ValueError("Checkpoint not found")
 
-    params = jax.device_put(params)  # avoid per-call transfer of numpy trees
-    embed = jax.jit(
-        lambda p, ids, mask: model.apply({"params": p}, ids, mask, method=TextERC.embed)
-    )
+    if args.int8:
+        from mer_tpu.serving import RobertaInt8, quantize_roberta
+
+        params = jax.device_put(quantize_roberta(params))
+        server = RobertaInt8(model)
+        embed = jax.jit(server.embed)
+        print("int8 serving engine enabled")
+    else:
+        params = jax.device_put(params)  # avoid per-call transfer of numpy trees
+        embed = jax.jit(
+            lambda p, ids, mask: model.apply({"params": p}, ids, mask, method=TextERC.embed)
+        )
 
     for mode in ["train", "val", "test"]:
         ds = TextFeatureDataset(mode, tokenizer, data_root=args.data_root)

@@ -116,3 +116,174 @@ class TestM2FNetInt8:
         model = M2FNet(audio_enabled=True, text_enabled=True, fam_enabled=False)
         with pytest.raises(ValueError):
             M2FNetInt8(model)
+
+
+class TestStaticCalibration:
+    """Post-training static activation scales (quant.py::calibration) — the
+    QAT-lite path: per-tensor scales from a calibration set replace the
+    per-row dynamic abs-max reduction at serving time."""
+
+    @pytest.mark.parametrize("scan_layers", [False, True])
+    def test_static_matches_f32_envelope(self, scan_layers):
+        from mer_tpu.serving import apply_calibration, calibration
+
+        model = _small_m2fnet(scan_layers)
+        text, audio, mask = _dialogue_batch()
+        params = model.init(jax.random.PRNGKey(0), text, audio, mask)["params"]
+        want = np.asarray(model.apply({"params": params}, text, audio, mask, deterministic=True))
+        server = M2FNetInt8(model)
+        qp = quantize_m2fnet(params)
+
+        with calibration() as sink:
+            server.apply(qp, text, audio, mask)  # eager observer pass
+        assert sink, "no sites observed"
+        qp_static = apply_calibration(qp, sink)
+
+        # every quantized site got a static scale (calibration covered all)
+        def count(node, pred):
+            if isinstance(node, dict):
+                return pred(node) + sum(count(v, pred) for v in node.values())
+            return 0
+
+        n_sites = count(qp_static, lambda n: "kernel_q" in n)
+        n_static = count(qp_static, lambda n: "act_scale" in n)
+        assert n_sites == n_static > 0
+
+        got = np.asarray(jax.jit(server.apply)(qp_static, text, audio, mask))
+        want_v, got_v = want[:, :7], got[:, :7]
+        assert np.abs(got_v - want_v).max() / np.abs(want_v).max() < 0.15
+        cos = np.sum(want_v * got_v) / (np.linalg.norm(want_v) * np.linalg.norm(got_v))
+        assert cos > 0.995
+
+    def test_stacked_act_scale_layout(self):
+        """Scan-stacked nodes get [L] act_scale arrays the scan slices."""
+        from mer_tpu.serving import apply_calibration, calibration
+
+        model = _small_m2fnet(scan_layers=True)
+        text, audio, mask = _dialogue_batch()
+        params = model.init(jax.random.PRNGKey(0), text, audio, mask)["params"]
+        server = M2FNetInt8(model)
+        qp = quantize_m2fnet(params)
+        with calibration() as sink:
+            server.apply(qp, text, audio, mask)
+        qp_static = apply_calibration(qp, sink)
+        stacked = qp_static["audio_encoders_0"]["layers_scan"]["layer"]["linear1"]
+        assert stacked["act_scale"].shape == (2,)  # n_layers_audio = 2
+        assert stacked["kernel_q"]["q"].ndim == 3
+
+    def test_uncalibrated_sites_stay_dynamic(self):
+        from mer_tpu.serving import apply_calibration
+
+        model = _small_m2fnet()
+        text, audio, mask = _dialogue_batch()
+        params = model.init(jax.random.PRNGKey(0), text, audio, mask)["params"]
+        qp = quantize_m2fnet(params)
+        qp2 = apply_calibration(qp, {})  # empty sink: nothing calibrated
+        assert not any(
+            "act_scale" in n for n in jax.tree.leaves(
+                jax.tree.map(lambda x: x, qp2), is_leaf=lambda n: isinstance(n, dict) and "kernel_q" in n
+            ) if isinstance(n, dict)
+        )
+        # forward still works (dynamic path)
+        server = M2FNetInt8(model)
+        out = server.apply(qp2, text, audio, mask)
+        assert np.isfinite(np.asarray(out)).all()
+
+
+class TestRobertaInt8:
+    """FE-backbone engine (serving/encoders.py) vs the f32 Flax TextERC —
+    the embedding-export serving contract (reference text/embeddings.py)."""
+
+    @pytest.mark.parametrize("scan_layers", [False, True])
+    def test_embed_and_logits_close(self, scan_layers):
+        from mer_tpu.models.roberta import RobertaConfig, TextERC
+        from mer_tpu.serving import RobertaInt8, quantize_roberta
+
+        cfg = RobertaConfig(
+            vocab_size=200, hidden_size=32, num_hidden_layers=2, num_attention_heads=4,
+            intermediate_size=64, max_position_embeddings=40,
+        )
+        model = TextERC(cfg, scan_layers=scan_layers)
+        rng = np.random.default_rng(0)
+        ids = jnp.asarray(rng.integers(2, 200, size=(4, 12)).astype(np.int32))
+        mask = np.ones((4, 12), np.int32)
+        mask[2, 8:] = 0  # padded tail on one row
+        mask = jnp.asarray(mask)
+        params = model.init(jax.random.PRNGKey(0), ids, mask)["params"]
+
+        want_emb = np.asarray(model.apply({"params": params}, ids, mask, method=TextERC.embed))
+        want_log = np.asarray(model.apply({"params": params}, ids, mask))
+        server = RobertaInt8(model)
+        qp = quantize_roberta(params)
+        got_emb = np.asarray(jax.jit(server.embed)(qp, ids, mask))
+        got_log = np.asarray(server.apply(qp, ids, mask))
+
+        for want, got in [(want_emb, got_emb), (want_log, got_log)]:
+            cos = np.sum(want * got) / (np.linalg.norm(want) * np.linalg.norm(got))
+            assert cos > 0.99
+            assert np.abs(got - want).max() / np.abs(want).max() < 0.25
+
+    def test_embedding_tables_not_quantized(self):
+        from mer_tpu.models.roberta import RobertaConfig, TextERC
+        from mer_tpu.serving import quantize_roberta
+
+        cfg = RobertaConfig(
+            vocab_size=50, hidden_size=16, num_hidden_layers=1, num_attention_heads=2,
+            intermediate_size=32, max_position_embeddings=20,
+        )
+        model = TextERC(cfg)
+        params = model.init(
+            jax.random.PRNGKey(0), jnp.zeros((1, 4), jnp.int32), jnp.ones((1, 4), jnp.int32)
+        )["params"]
+        qp = quantize_roberta(params)
+        assert qp["roberta"]["word_embeddings"]["embedding"].dtype == jnp.float32
+        assert qp["roberta"]["layer_0"]["intermediate"]["kernel_q"]["q"].dtype == jnp.int8
+
+
+class TestWav2Vec2Int8:
+    @pytest.mark.parametrize("scan_layers", [False, True])
+    def test_embed_and_logits_close(self, scan_layers):
+        from mer_tpu.models.wav2vec2 import AudioERC, Wav2Vec2Config
+        from mer_tpu.serving import Wav2Vec2Int8, quantize_wav2vec2
+
+        cfg = Wav2Vec2Config(
+            conv_dim=(16, 16), conv_kernel=(10, 3), conv_stride=(5, 2),
+            hidden_size=32, num_hidden_layers=2, num_attention_heads=4, intermediate_size=64,
+            num_conv_pos_embeddings=16, num_conv_pos_embedding_groups=4,
+        )
+        model = AudioERC(cfg, scan_layers=scan_layers)
+        rng = np.random.default_rng(1)
+        waves = jnp.asarray(rng.normal(size=(3, 1600)).astype(np.float32) * 0.1)
+        lengths = jnp.asarray(np.array([1600, 1200, 800], np.int32))
+        params = model.init(jax.random.PRNGKey(0), waves, lengths)["params"]
+
+        want_emb = np.asarray(model.apply({"params": params}, waves, lengths, method=AudioERC.embed))
+        want_log = np.asarray(model.apply({"params": params}, waves, lengths))
+        server = Wav2Vec2Int8(model)
+        qp = quantize_wav2vec2(params)
+        got_emb = np.asarray(jax.jit(server.embed)(qp, waves, lengths))
+        got_log = np.asarray(server.apply(qp, waves, lengths))
+
+        for want, got in [(want_emb, got_emb), (want_log, got_log)]:
+            cos = np.sum(want * got) / (np.linalg.norm(want) * np.linalg.norm(got))
+            assert cos > 0.99
+            assert np.abs(got - want).max() / np.abs(want).max() < 0.25
+
+    def test_conv_frontend_stays_float(self):
+        from mer_tpu.models.wav2vec2 import AudioERC, Wav2Vec2Config
+        from mer_tpu.serving import quantize_wav2vec2
+
+        cfg = Wav2Vec2Config(
+            conv_dim=(8, 8), conv_kernel=(10, 3), conv_stride=(5, 2),
+            hidden_size=16, num_hidden_layers=1, num_attention_heads=2, intermediate_size=32,
+            num_conv_pos_embeddings=8, num_conv_pos_embedding_groups=2,
+        )
+        model = AudioERC(cfg)
+        params = model.init(
+            jax.random.PRNGKey(0), jnp.zeros((1, 800)), jnp.full((1,), 800)
+        )["params"]
+        qp = quantize_wav2vec2(params)
+        w2v = qp["wav2vec2"]
+        assert w2v["feature_extractor"]["conv_0"]["kernel"].dtype == jnp.float32
+        assert w2v["pos_conv_embed"]["conv"]["kernel"].dtype == jnp.float32
+        assert w2v["layer_0"]["q_proj"]["kernel_q"]["q"].dtype == jnp.int8
