@@ -96,6 +96,63 @@ def bench_int8(batcher, n_utterances: int, repeats: int = 3) -> float:
     return n_utterances / min(times)
 
 
+def bench_scanned(batcher, n_utterances: int, repeats: int = 3) -> tuple[float, float]:
+    """Offline whole-split inference as scanned XLA programs
+    (mer_tpu/serving/offline.py): batches grouped by bucket shape, each
+    group ONE lax.scan dispatch over HBM-stacked arrays — the TPU-native
+    form of the reference's per-batch DataLoader eval loop (src/test.py:51).
+    Returns (bf16_scanned_utt_per_s, int8_scanned_utt_per_s); same
+    execution-verified sync protocol as bench_tpu."""
+    import jax
+    import jax.numpy as jnp
+
+    from mer_tpu.models import M2FNet
+    from mer_tpu.serving import M2FNetInt8, ScanPredictor, quantize_m2fnet
+
+    model = M2FNet(dtype=jnp.bfloat16, scan_layers=True)
+    host_batches = [
+        {k: b[k] for k in ("text", "audio", "padding_mask")} for b in batcher
+    ]
+    example = host_batches[0]
+    params = model.init(
+        jax.random.PRNGKey(0),
+        jnp.asarray(example["text"]), jnp.asarray(example["audio"]),
+        jnp.asarray(example["padding_mask"]),
+    )["params"]
+    bf16_params = jax.tree.map(lambda x: x.astype(jnp.bfloat16), params)
+    qparams = jax.device_put(quantize_m2fnet(params))
+    server = M2FNetInt8(model)
+
+    def predict_bf16(p, b):
+        return jnp.argmax(
+            model.apply({"params": p}, b["text"], b["audio"], b["padding_mask"],
+                        deterministic=True), -1)
+
+    def predict_int8(p, b):
+        return jnp.argmax(server.apply(p, b["text"], b["audio"], b["padding_mask"]), -1)
+
+    results = []
+    for predict, p in [(predict_bf16, bf16_params), (predict_int8, qparams)]:
+        sp = ScanPredictor(predict)
+        staged = sp.stage(host_batches)
+        progs = [(sp._group_program(key), stacked) for key, _, stacked in staged]
+        last = None
+        for prog, stacked in progs:
+            last = prog(p, stacked)
+        np.asarray(last)  # compile + sync
+        inner = 10
+        times = []
+        for _ in range(repeats):
+            t0 = time.perf_counter()
+            for _ in range(inner):
+                for prog, stacked in progs:
+                    last = prog(p, stacked)
+            np.asarray(last)  # in-order execution: syncs everything above
+            times.append((time.perf_counter() - t0) / inner)
+        results.append(n_utterances / min(times))
+    return tuple(results)
+
+
 def bench_tpu(batcher, n_utterances: int, repeats: int = 3) -> tuple[float, float]:
     """Returns (device_resident_utt_per_s, streaming_utt_per_s).
 
@@ -256,15 +313,19 @@ def main():
     baseline = get_baseline(batcher, n_utterances)
     device_resident, streaming = bench_tpu(batcher, n_utterances)
     int8 = bench_int8(batcher, n_utterances)
+    scanned_bf16, scanned_int8 = bench_scanned(batcher, n_utterances)
+    best = max(device_resident, int8, scanned_bf16, scanned_int8)
     print(
         json.dumps(
             {
                 "metric": "MELD-test-shaped M2FNet fusion inference throughput (utterances/sec/chip, device-resident inputs)",
-                "value": round(max(device_resident, int8), 1),
+                "value": round(best, 1),
                 "unit": "utterances/sec",
-                "vs_baseline": round(max(device_resident, int8) / baseline, 2),
+                "vs_baseline": round(best / baseline, 2),
                 "bf16_value": round(device_resident, 1),
                 "int8_value": round(int8, 1),
+                "scanned_bf16_value": round(scanned_bf16, 1),
+                "scanned_int8_value": round(scanned_int8, 1),
                 "streaming_value": round(streaming, 1),
                 "baseline_torch_cpu": round(baseline, 1),
             }

@@ -4,6 +4,7 @@ from mer_tpu.serving.encoders import (
     quantize_roberta,
     quantize_wav2vec2,
 )
+from mer_tpu.serving.offline import ScanPredictor
 from mer_tpu.serving.quant import (
     M2FNetInt8,
     apply_calibration,
@@ -18,6 +19,7 @@ from mer_tpu.serving.quant import (
 __all__ = [
     "M2FNetInt8",
     "RobertaInt8",
+    "ScanPredictor",
     "Wav2Vec2Int8",
     "apply_calibration",
     "calibration",

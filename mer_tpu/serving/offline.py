@@ -1,0 +1,88 @@
+"""Offline (whole-split) batch inference as scanned XLA programs.
+
+The reference evaluates splits by iterating a DataLoader and dispatching one
+forward per batch (src/test.py:51-71).  Per-batch dispatch costs host->device
+round trips and launch latency; for offline evaluation/serving over a fixed
+split the TPU-native shape is: group the fixed-shape batches, stack each
+group in HBM, and run it as ONE ``lax.scan`` program — a single dispatch per
+bucket shape, results fetched in one transfer.
+
+Works with any jit-compatible ``predict_fn(params, batch) -> array`` — the
+bf16 Flax forward and the int8 serving engines alike.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+class ScanPredictor:
+    """Compile-once scanned batch inference over fixed-shape batch groups.
+
+    Batches are grouped by their shape signature; each group runs as one
+    ``lax.scan`` over the stacked [n_batches, ...] arrays.  Per-group
+    programs are cached, so repeated splits (epochs, reruns) reuse them.
+    """
+
+    def __init__(self, predict_fn: Callable[[Any, dict], jnp.ndarray]):
+        self._predict = predict_fn
+        self._compiled: dict[tuple, Any] = {}
+
+    def _group_program(self, shape_key: tuple):
+        if shape_key not in self._compiled:
+
+            def run(params, stacked):
+                def body(carry, batch):
+                    return carry, self._predict(params, batch)
+
+                _, out = jax.lax.scan(body, None, stacked)
+                return out
+
+            self._compiled[shape_key] = jax.jit(run)
+        return self._compiled[shape_key]
+
+    def stage(self, batches: list[dict]) -> list[tuple[tuple, list[int], dict]]:
+        """Group ``batches`` by shape signature and stack each group into
+        device-resident arrays: [(shape_key, batch_indices, stacked)].  One
+        H2D ship per group; the staged plan can be re-run many times (the
+        device-resident offline-serving setup)."""
+        groups: dict[tuple, list[int]] = {}
+        for i, b in enumerate(batches):
+            key = tuple(
+                sorted(
+                    (k, tuple(np.shape(v)), str(v.dtype if hasattr(v, "dtype") else np.asarray(v).dtype))
+                    for k, v in b.items()
+                )
+            )
+            groups.setdefault(key, []).append(i)
+        return [
+            (
+                key,
+                idxs,
+                {k: jnp.stack([jnp.asarray(batches[i][k]) for i in idxs]) for k in batches[idxs[0]].keys()},
+            )
+            for key, idxs in groups.items()
+        ]
+
+    def run_staged(self, params: Any, staged, n_batches: int) -> list[np.ndarray]:
+        """Execute a staged plan: one dispatch per group, one fetch per
+        group; per-batch host predictions in original input order."""
+        out: list[np.ndarray | None] = [None] * n_batches
+        pending = [
+            (idxs, self._group_program(key)(params, stacked)) for key, idxs, stacked in staged
+        ]
+        for idxs, preds in pending:  # fetch after all dispatches
+            preds = np.asarray(preds)
+            for j, i in enumerate(idxs):
+                out[i] = preds[j]
+        return out  # type: ignore[return-value]
+
+    def __call__(self, params: Any, batches: list[dict]) -> list[np.ndarray]:
+        """Run every batch, returning per-batch host predictions in input
+        order. ``batches`` may be host numpy or device arrays; each group is
+        stacked and shipped once."""
+        return self.run_staged(params, self.stage(batches), len(batches))

@@ -1,0 +1,104 @@
+"""ScanPredictor (serving/offline.py): scanned whole-split inference must
+produce exactly the per-batch dispatch results, across mixed bucket shapes
+and for both the Flax forward and the int8 engine."""
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from mer_tpu.models import M2FNet
+from mer_tpu.serving import M2FNetInt8, ScanPredictor, quantize_m2fnet
+
+D = 32
+
+
+def _model():
+    return M2FNet(
+        d_model_audio=D, d_model_text=D, d_model_fam=D,
+        n_head_audio=4, n_head_text=4, n_head_fam=4,
+        n_layers_audio=1, n_layers_text=1, n_layers_fam=1,
+        hidden_size_classifier=D, dropout=0.0, scan_layers=True,
+    )
+
+
+def _batches(seed=0):
+    """Mixed bucket widths (8 and 16) interleaved, like a bucketed epoch."""
+    rng = np.random.default_rng(seed)
+    out = []
+    for i, u in enumerate([8, 16, 8, 16, 8]):
+        emotion = rng.integers(0, 7, size=(4, u)).astype(np.int32)
+        emotion[:, u - 2 :] = -1
+        out.append(
+            {
+                "text": rng.normal(size=(4, u, D)).astype(np.float32),
+                "audio": rng.normal(size=(4, u, D)).astype(np.float32),
+                "padding_mask": emotion == -1,
+            }
+        )
+    return out
+
+
+class TestScanPredictor:
+    def test_matches_per_batch_flax(self):
+        model = _model()
+        batches = _batches()
+        b0 = batches[0]
+        params = model.init(
+            jax.random.PRNGKey(0),
+            jnp.asarray(b0["text"]), jnp.asarray(b0["audio"]), jnp.asarray(b0["padding_mask"]),
+        )["params"]
+
+        def predict(p, b):
+            return jnp.argmax(
+                model.apply({"params": p}, b["text"], b["audio"], b["padding_mask"]), -1
+            )
+
+        per_batch = [
+            np.asarray(jax.jit(predict)(params, jax.tree.map(jnp.asarray, b))) for b in batches
+        ]
+        scanned = ScanPredictor(predict)(params, batches)
+        assert len(scanned) == len(batches)
+        for want, got in zip(per_batch, scanned):
+            np.testing.assert_array_equal(want, got)
+
+    def test_matches_per_batch_int8(self):
+        model = _model()
+        batches = _batches(seed=3)
+        b0 = batches[0]
+        params = model.init(
+            jax.random.PRNGKey(1),
+            jnp.asarray(b0["text"]), jnp.asarray(b0["audio"]), jnp.asarray(b0["padding_mask"]),
+        )["params"]
+        qp = quantize_m2fnet(params)
+        server = M2FNetInt8(model)
+
+        def predict(p, b):
+            return jnp.argmax(server.apply(p, b["text"], b["audio"], b["padding_mask"]), -1)
+
+        per_batch = [
+            np.asarray(jax.jit(predict)(qp, jax.tree.map(jnp.asarray, b))) for b in batches
+        ]
+        scanned = ScanPredictor(predict)(qp, batches)
+        for want, got in zip(per_batch, scanned):
+            np.testing.assert_array_equal(want, got)
+
+    def test_program_cache_reused(self):
+        model = _model()
+        batches = _batches()
+        b0 = batches[0]
+        params = model.init(
+            jax.random.PRNGKey(0),
+            jnp.asarray(b0["text"]), jnp.asarray(b0["audio"]), jnp.asarray(b0["padding_mask"]),
+        )["params"]
+
+        def predict(p, b):
+            return jnp.argmax(
+                model.apply({"params": p}, b["text"], b["audio"], b["padding_mask"]), -1
+            )
+
+        sp = ScanPredictor(predict)
+        sp(params, batches)
+        assert len(sp._compiled) == 2  # two bucket shapes
+        sp(params, batches)
+        assert len(sp._compiled) == 2  # second epoch reuses programs
