@@ -26,11 +26,30 @@ class ScanPredictor:
     Batches are grouped by their shape signature; each group runs as one
     ``lax.scan`` over the stacked [n_batches, ...] arrays.  Per-group
     programs are cached, so repeated splits (epochs, reruns) reuse them.
+
+    With ``mesh``, staged arrays are sharded over the mesh's ``batch_axis``
+    along each batch's leading (batch) dimension — data-parallel serving;
+    GSPMD propagates the sharding through the scan (params replicate).
     """
 
-    def __init__(self, predict_fn: Callable[[Any, dict], jnp.ndarray]):
+    def __init__(self, predict_fn: Callable[[Any, dict], jnp.ndarray],
+                 mesh=None, batch_axis: str = "dp"):
         self._predict = predict_fn
         self._compiled: dict[tuple, Any] = {}
+        self._mesh = mesh
+        self._batch_axis = batch_axis
+
+    def _shard(self, stacked: dict) -> dict:
+        if self._mesh is None:
+            return stacked
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        def put(x):
+            # [n_batches, B, ...]: scan axis replicated, batch axis sharded
+            spec = P(None, self._batch_axis) if x.ndim >= 2 else P()
+            return jax.device_put(x, NamedSharding(self._mesh, spec))
+
+        return {k: put(v) for k, v in stacked.items()}
 
     def _group_program(self, shape_key: tuple):
         if shape_key not in self._compiled:
@@ -63,7 +82,9 @@ class ScanPredictor:
             (
                 key,
                 idxs,
-                {k: jnp.stack([jnp.asarray(batches[i][k]) for i in idxs]) for k in batches[idxs[0]].keys()},
+                self._shard(
+                    {k: jnp.stack([jnp.asarray(batches[i][k]) for i in idxs]) for k in batches[idxs[0]].keys()}
+                ),
             )
             for key, idxs in groups.items()
         ]

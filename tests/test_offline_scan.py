@@ -83,6 +83,47 @@ class TestScanPredictor:
         for want, got in zip(per_batch, scanned):
             np.testing.assert_array_equal(want, got)
 
+    def test_mesh_sharded_matches_single_device(self):
+        """Data-parallel serving: staged arrays sharded over dp must give
+        identical predictions to the unsharded path."""
+        from mer_tpu.parallel import make_mesh
+
+        mesh = make_mesh(dp=8)
+        model = _model()
+        rng = np.random.default_rng(7)
+        batches = []
+        for u in [8, 16, 8]:
+            emotion = rng.integers(0, 7, size=(8, u)).astype(np.int32)
+            emotion[:, u - 2 :] = -1
+            batches.append(
+                {
+                    "text": rng.normal(size=(8, u, D)).astype(np.float32),
+                    "audio": rng.normal(size=(8, u, D)).astype(np.float32),
+                    "padding_mask": emotion == -1,
+                }
+            )
+        b0 = batches[0]
+        params = model.init(
+            jax.random.PRNGKey(2),
+            jnp.asarray(b0["text"]), jnp.asarray(b0["audio"]), jnp.asarray(b0["padding_mask"]),
+        )["params"]
+
+        def predict(p, b):
+            return jnp.argmax(
+                model.apply({"params": p}, b["text"], b["audio"], b["padding_mask"]), -1
+            )
+
+        single = ScanPredictor(predict)(params, batches)
+        sharded_sp = ScanPredictor(predict, mesh=mesh)
+        staged = sharded_sp.stage(batches)
+        # the staged arrays really are dp-sharded (not fully replicated)
+        some = staged[0][2]["text"]
+        assert not some.sharding.is_fully_replicated
+        assert "dp" in str(getattr(some.sharding, "spec", ""))
+        sharded = sharded_sp.run_staged(params, staged, len(batches))
+        for want, got in zip(single, sharded):
+            np.testing.assert_array_equal(want, got)
+
     def test_program_cache_reused(self):
         model = _model()
         batches = _batches()
