@@ -112,10 +112,14 @@ class RobertaInt8:
 
 
 def _conv1d(x, kernel, strides: int, padding, groups: int = 1):
-    """lax conv over [B, L, C] with a Flax-layout [k, in/groups, out] kernel."""
+    """lax conv over [B, L, C] with a Flax-layout [k, in/groups, out] kernel.
+    bf16 inputs/kernels on the MXU with f32 accumulation (the serving
+    engine's conv frontend is compute-bound; bf16 doubles MXU rate)."""
     return jax.lax.conv_general_dilated(
-        x, kernel, window_strides=(strides,), padding=padding,
+        x.astype(jnp.bfloat16), kernel.astype(jnp.bfloat16),
+        window_strides=(strides,), padding=padding,
         dimension_numbers=("NWC", "WIO", "NWC"), feature_group_count=groups,
+        preferred_element_type=jnp.float32,
     )
 
 
