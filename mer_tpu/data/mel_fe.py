@@ -178,7 +178,12 @@ class MelFeatureDataset:
         wants_augment = key is not None and self.mode == "train" and self.augmentation_factor > 1
         if self._device_cache is not None and not wants_augment:
             # one jitted gather+decode call: eager indexing would cost several
-            # dispatch round-trips per batch on remote-dispatch TPU setups
-            idx = jnp.asarray(np.asarray(indices, dtype=np.int32))
+            # dispatch round-trips per batch on remote-dispatch TPU setups.
+            # Device index arrays pass straight through (the hard-mining loop
+            # keeps its row indices in HBM — no per-step D2H sync).
+            if isinstance(indices, jax.Array):
+                idx = indices.astype(jnp.int32)
+            else:
+                idx = jnp.asarray(np.asarray(indices, dtype=np.int32))
             return _cache_gather(self._device_cache, idx)
         return self._spectrogram_from_waveforms(indices, key=key)

@@ -48,8 +48,10 @@ def hard_triplets_from_pool(
       negative[i] = argmin_j d(i, j) among diff-class j        (closest negative)
       keep the top-``batch_size`` anchors by violation d(i,p) - d(i,n)
 
-    Returns (anchor_pool_idx, positive_pool_idx, negative_pool_idx),
-    each [batch_size] int32 indices into the pool.
+    Returns one [3, batch_size] int32 array of (anchor, positive, negative)
+    pool-index rows — stacked so callers fetch ONE device array (three
+    separate fetches cost three full host-link round trips; on tunneled
+    hosts that latency dominated the whole mining step).
     """
     d = cdist(embeddings, embeddings)
     same = labels[:, None] == labels[None, :]
@@ -68,11 +70,9 @@ def hard_triplets_from_pool(
     losses = d[rows, positive_idx] - d[rows, negative_idx]
     _, anchor_idx = jax.lax.top_k(losses, batch_size)
 
-    return (
-        anchor_idx.astype(jnp.int32),
-        positive_idx[anchor_idx].astype(jnp.int32),
-        negative_idx[anchor_idx].astype(jnp.int32),
-    )
+    return jnp.stack(
+        [anchor_idx, positive_idx[anchor_idx], negative_idx[anchor_idx]]
+    ).astype(jnp.int32)
 
 
 @jax.jit
@@ -167,9 +167,22 @@ class TripletMiner:
         pool_size = max((self.len_triplet_picking // batch_size) * batch_size, batch_size)
         pool = self.sampler.sample_class_uniform(pool_size)
         emb = self.embed_fn(pool)
-        a, p, n = hard_triplets_from_pool(emb, jnp.asarray(self.labels[pool]), batch_size)
-        a, p, n = np.asarray(a), np.asarray(p), np.asarray(n)
-        return pool[a], pool[p], pool[n]
+        apn = np.asarray(  # ONE D2H fetch for all three index rows
+            hard_triplets_from_pool(emb, jnp.asarray(self.labels[pool]), batch_size)
+        )
+        return pool[apn[0]], pool[apn[1]], pool[apn[2]]
+
+    def mine_hard_rows_device(self, batch_size: int) -> "jnp.ndarray":
+        """Hard mining with the selected dataset rows left ON DEVICE: returns
+        a flat [3*batch_size] int32 device array of (anchors ++ positives ++
+        negatives) rows. With an HBM spectrogram cache downstream, a whole
+        hard-mining train step then runs with zero host<->device syncs —
+        pool sampling is host RNG, everything after is device dataflow."""
+        pool_size = max((self.len_triplet_picking // batch_size) * batch_size, batch_size)
+        pool = self.sampler.sample_class_uniform(pool_size)
+        emb = self.embed_fn(pool)
+        apn = hard_triplets_from_pool(emb, jnp.asarray(self.labels[pool]), batch_size)
+        return jnp.asarray(pool.astype(np.int32))[apn.reshape(-1)]
 
     def _mine_semihard(self, batch_size: int, margin: float, max_rounds: int = 50, oversample: int = 4):
         """Batched rejection sampling: propose oversample*batch candidate

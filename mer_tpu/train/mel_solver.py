@@ -50,6 +50,9 @@ class MelSolver:
         # in a worker thread while step k's gradient computes. Documented
         # semantic deviation, off by default.
         self.async_mining = bool(config.get_path("solver.async_mining", False))
+        # device_mining=True (default) keeps hard-mined row indices on device
+        # (zero per-step host syncs); False forces the host-index path
+        self.device_mining = bool(config.get_path("solver.device_mining", True))
         self.batch_size = int(config.train.data_loader.batch_size)
         self.val_batch_size = int(config.val.data_loader.batch_size)
 
@@ -172,19 +175,46 @@ class MelSolver:
         if self.async_mining:
             return self._train_epoch_async(state, epoch, rng, n_steps)
         watch_every = self.logger.watch_freq if self.logger.wants_watch_logs else 0
+        # per-step float(loss) forces a full host-link round trip per step
+        # (~30 ms on tunneled hosts) — defer to one epoch-end fetch unless
+        # wandb is actually recording the running loss (FESolver pattern)
+        sync_every_step = self.logger.wants_step_logs
+        # hard mining against an HBM cache (and no augmentation) can keep the
+        # mined rows on device: the whole epoch is then pure device dataflow
+        # with ZERO per-step host syncs (mine_hard_rows_device)
+        device_rows = (
+            self.device_mining
+            and self.mining_type == "hard"
+            and getattr(self.data_train, "_device_cache", None) is not None
+            and int(getattr(self.data_train, "augmentation_factor", 1)) <= 1
+        )
+        losses = []
         total = 0.0
         for step in range(n_steps):
             miner = self._miner(self.data_train, state.params)
-            a, p, n = miner.mine(self.batch_size, self.mining_type)
-            key = jax.random.fold_in(rng, epoch * n_steps + step)
-            spec = self._fetch_triplet_batch(self.data_train, a, p, n, key=key)
+            if device_rows:
+                rows = miner.mine_hard_rows_device(self.batch_size)
+                spec = self.data_train.spectrogram_batch(rows)
+                if self.mesh is not None:
+                    from mer_tpu.parallel.mesh import batch_sharding
+
+                    spec = jax.device_put(spec, batch_sharding(self.mesh))
+            else:
+                a, p, n = miner.mine(self.batch_size, self.mining_type)
+                key = jax.random.fold_in(rng, epoch * n_steps + step)
+                spec = self._fetch_triplet_batch(self.data_train, a, p, n, key=key)
             if watch_every and step % watch_every == 0:
                 state, loss, norms = self._train_step_watched(state, spec)
                 self.logger.log_watch(norms)
             else:
                 state, loss = self._train_step(state, spec)
-            total += float(loss)
-            self.logger.log_step(total / (step + 1))
+            if sync_every_step:
+                total += float(loss)
+                self.logger.log_step(total / (step + 1))
+            else:
+                losses.append(loss)
+        if not sync_every_step:
+            total = float(jnp.sum(jnp.stack(losses))) if losses else 0.0
         return state, total / max(n_steps, 1)
 
     def _train_epoch_async(self, state: TrainState, epoch: int, rng, n_steps: int) -> tuple[TrainState, float]:

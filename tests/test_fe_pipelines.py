@@ -214,6 +214,23 @@ class TestMelPipeline:
         np.testing.assert_allclose(np.linalg.norm(emb, axis=1), 1.0, rtol=1e-4)
 
 
+    def test_device_rows_matches_host_path(self, meld_like_root_with_wavs, tmp_path):
+        """The zero-sync device-rows hard-mining path must train identically
+        to the host-index path (same sampler stream, same selections)."""
+        root, _ = meld_like_root_with_wavs
+        losses = []
+        for device_mining in [True, False]:
+            cfg = _mel_config(tmp_path, root, epochs=1)
+            cfg = cfg.override(solver__device_mining=device_mining)
+            train_ds = MelFeatureDataset("train", cfg, data_root=root)
+            val_ds = MelFeatureDataset("val", cfg, data_root=root)
+            solver = MelSolver(AudioMelFeatureExtractor(embedding_size=16), cfg, train_ds, val_ds, seed=0)
+            state = solver.init_state()
+            state, loss = solver.train_epoch(state, 0, jax.random.PRNGKey(7))
+            losses.append(loss)
+        np.testing.assert_allclose(losses[0], losses[1], rtol=1e-5)
+
+
 class TestMinerAdvances:
     def test_mining_rng_advances_across_steps(self, meld_like_root_with_wavs, tmp_path):
         """Regression: the solver must reuse ONE miner so the sampler RNG
