@@ -320,17 +320,23 @@ def bench_mel_pipeline(results: dict, data_root: str) -> None:
             "wandb": {"enabled": False},
         }
     )
+    import jax.numpy as jnp
+
     train = MelFeatureDataset("train", cfg, data_root=data_root)
     val = MelFeatureDataset("val", cfg, data_root=data_root)
-    solver = MelSolver(AudioMelFeatureExtractor(), cfg, train, val)
-    state = solver.init_state()
-    rng = jax.random.PRNGKey(0)
-    state, _ = solver.train_epoch(state, 0, rng)
-    t0 = time.perf_counter()
-    state, _ = solver.train_epoch(state, 1, rng)
-    dt = time.perf_counter() - t0
     n_steps = len(train) // 32
-    results["mel_hard_mining_ms_per_step"] = round(dt / max(n_steps, 1) * 1e3, 1)
+    for label, dtype in [
+        ("mel_hard_mining_ms_per_step", jnp.float32),
+        ("mel_hard_mining_bf16_ms_per_step", jnp.bfloat16),
+    ]:
+        solver = MelSolver(AudioMelFeatureExtractor(dtype=dtype), cfg, train, val)
+        state = solver.init_state()
+        rng = jax.random.PRNGKey(0)
+        state, _ = solver.train_epoch(state, 0, rng)
+        t0 = time.perf_counter()
+        state, _ = solver.train_epoch(state, 1, rng)
+        dt = time.perf_counter() - t0
+        results[label] = round(dt / max(n_steps, 1) * 1e3, 1)
 
 
 def bench_e2e(results: dict, data_root: str) -> None:

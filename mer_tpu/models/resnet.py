@@ -107,5 +107,9 @@ class AudioMelFeatureExtractor(nn.Module):
         x = ResNet18(use_running_average=use_running_average, dtype=self.dtype, name="resnet18")(x)
         x = nn.relu(x)
         x = nn.Dense(self.embedding_size, dtype=self.dtype, name="projector")(x)
+        # L2-normalize (and everything downstream: triplet/var/cov losses,
+        # mining distances) in f32 even under bf16 compute — the embeddings
+        # are tiny, the convs are where bf16 pays
+        x = x.astype(jnp.float32)
         norm = jnp.linalg.norm(x, axis=-1, keepdims=True)
         return x / jnp.maximum(norm, 1e-12)

@@ -34,7 +34,11 @@ def main(argv=None):
     except ValueError:
         mesh = None
 
-    model = AudioMelFeatureExtractor()  # bn_mode="eval" = reference parity
+    import jax.numpy as jnp
+
+    # bn_mode="eval" = reference parity; --bf16 runs the convs at double MXU
+    # rate (params/embeddings/losses stay f32, models/resnet.py)
+    model = AudioMelFeatureExtractor(dtype=jnp.bfloat16 if args.bf16 else jnp.float32)
     solver = MelSolver(
         model, config, data_train, data_val, seed=int(config.get_path("tpu.seed", 0)),
         mesh=mesh if (mesh is not None and mesh.size > 1) else None,

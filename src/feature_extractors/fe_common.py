@@ -34,6 +34,9 @@ def parse_args(argv=None, default_config: str | None = None):
     p.add_argument("--int8", action="store_true",
                    help="embedding export: int8 serving engine (mer_tpu/serving) "
                         "— 4x less weight HBM traffic than f32")
+    p.add_argument("--bf16", action="store_true",
+                   help="mel pipeline: bf16 conv compute (f32 params, f32 "
+                        "embeddings/losses) — 2x MXU rate on the ResNet")
     return p.parse_args(argv)
 
 
