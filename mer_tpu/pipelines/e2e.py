@@ -41,10 +41,25 @@ class E2EModels:
 
 
 class StreamingPipeline:
-    """Chains the three models with device-resident intermediates."""
+    """Chains the three models with device-resident intermediates.
+
+    ``engine="bf16"`` (default) runs the Flax forwards in each model's
+    dtype; ``engine="int8"`` swaps all three models for the int8 serving
+    engines (mer_tpu/serving — per-channel int8 kernels, int8 MXU GEMMs,
+    ~4x less weight HBM). Measured on the dev chip the int8 mode is
+    metric-faithful but slower end-to-end at this workload's small batch
+    counts (542 vs 746 utt/s) — the dynamic quant elementwise work doesn't
+    amortize; it exists for memory-constrained serving and parity with the
+    offline int8 paths (bench.py shows where int8 wins: the device-resident
+    fusion split at full batch counts).
+    """
 
     def __init__(self, models: E2EModels, utterance_batch: int = 32, dialogue_batch: int = 32,
-                 buckets=DEFAULT_LENGTH_BUCKETS):
+                 buckets=DEFAULT_LENGTH_BUCKETS, engine: str = "bf16"):
+        if engine not in ("bf16", "int8"):
+            raise ValueError(f"engine must be 'bf16' or 'int8', got {engine!r}")
+        self.engine = engine
+
         # commit params to device once — checkpoint-restored trees arrive as
         # host numpy, and numpy jit arguments re-transfer on EVERY call
         # (~2 GB/batch for the full model set on this workload). Inference-only
@@ -55,11 +70,22 @@ class StreamingPipeline:
                 params = jax.tree.map(lambda x: jnp.asarray(x).astype(jnp.bfloat16), params)
             return jax.device_put(params)
 
-        self.m = E2EModels(
-            models.text_model, _commit(models.text_model, models.text_params),
-            models.audio_model, _commit(models.audio_model, models.audio_params),
-            models.fusion_model, _commit(models.fusion_model, models.fusion_params),
-        )
+        if engine == "int8":
+            from mer_tpu.serving import (
+                quantize_m2fnet, quantize_roberta, quantize_wav2vec2,
+            )
+
+            self.m = E2EModels(
+                models.text_model, jax.device_put(quantize_roberta(models.text_params)),
+                models.audio_model, jax.device_put(quantize_wav2vec2(models.audio_params)),
+                models.fusion_model, jax.device_put(quantize_m2fnet(models.fusion_params)),
+            )
+        else:
+            self.m = E2EModels(
+                models.text_model, _commit(models.text_model, models.text_params),
+                models.audio_model, _commit(models.audio_model, models.audio_params),
+                models.fusion_model, _commit(models.fusion_model, models.fusion_params),
+            )
         self.utterance_batch = utterance_batch
         self.dialogue_batch = dialogue_batch
         self.buckets = buckets
@@ -67,22 +93,37 @@ class StreamingPipeline:
         # params must be jit *arguments*, not closure constants — closed-over
         # arrays are baked into the HLO as literals, which blows program-size
         # limits on remote-compile setups (125M-param RoBERTa -> HTTP 413).
-        self._text_embed_fn = jax.jit(
-            lambda params, ids, mask: self.m.text_model.apply(
-                {"params": params}, ids, mask, method=TextERC.embed
-            )
-        )
-        # audio travels host->device as int16 (PCM's native width): half the
-        # transfer bytes; normalization to [-1, 1] float happens on device.
-        def _audio_embed(params, audio_i16, lengths):
-            audio = audio_i16.astype(jnp.float32) / 32768.0
-            return self.m.audio_model.apply({"params": params}, audio, lengths, method=AudioERC.embed)
+        if engine == "int8":
+            from mer_tpu.serving import M2FNetInt8, RobertaInt8, Wav2Vec2Int8
 
-        self._audio_embed_fn = jax.jit(_audio_embed)
+            text_server = RobertaInt8(models.text_model)
+            audio_server = Wav2Vec2Int8(models.audio_model)
+            fusion_server = M2FNetInt8(models.fusion_model)
+            text_embed = text_server.embed
+
+            def audio_embed(params, audio_i16, lengths):
+                audio = audio_i16.astype(jnp.float32) / 32768.0
+                return audio_server.embed(params, audio, lengths)
+
+            def fusion_logits(params, text, audio, mask):
+                return fusion_server.apply(params, text, audio, mask)
+        else:
+            def text_embed(params, ids, mask):
+                return self.m.text_model.apply({"params": params}, ids, mask, method=TextERC.embed)
+
+            # audio travels host->device as int16 (PCM's native width): half
+            # the transfer bytes; normalization to float happens on device.
+            def audio_embed(params, audio_i16, lengths):
+                audio = audio_i16.astype(jnp.float32) / 32768.0
+                return self.m.audio_model.apply({"params": params}, audio, lengths, method=AudioERC.embed)
+
+            def fusion_logits(params, text, audio, mask):
+                return self.m.fusion_model.apply({"params": params}, text, audio, mask)
+
+        self._text_embed_fn = jax.jit(text_embed)
+        self._audio_embed_fn = jax.jit(audio_embed)
         self._fusion_fn = jax.jit(
-            lambda params, text, audio, mask: jnp.argmax(
-                self.m.fusion_model.apply({"params": params}, text, audio, mask), axis=-1
-            )
+            lambda params, text, audio, mask: jnp.argmax(fusion_logits(params, text, audio, mask), axis=-1)
         )
 
         # device-resident stage1->stage2 handoff: the utterance embedding
@@ -96,9 +137,7 @@ class StreamingPipeline:
             valid = (idxm >= 0)[..., None]
             text = jnp.where(valid, table_t[safe], 0)
             audio = jnp.where(valid, table_a[safe], 0)
-            return jnp.argmax(
-                self.m.fusion_model.apply({"params": params}, text, audio, mask), axis=-1
-            )
+            return jnp.argmax(fusion_logits(params, text, audio, mask), axis=-1)
 
         self._fusion_tables_fn = jax.jit(_fusion_from_tables)
         self._text_embed = lambda ids, mask: self._text_embed_fn(self.m.text_params, ids, mask)

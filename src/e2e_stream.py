@@ -48,6 +48,8 @@ def main(argv=None):
     p.add_argument("--data-root", default=None)
     p.add_argument("--toy-tokenizer", action="store_true")
     p.add_argument("--utterance-batch", type=int, default=32)
+    p.add_argument("--int8", action="store_true",
+                   help="serve all three models through the int8 engines (mer_tpu/serving)")
     args = p.parse_args(argv)
 
     fusion_cfg = load_config(os.path.join(REPO_ROOT, "src", "config.yaml"))
@@ -89,6 +91,7 @@ def main(argv=None):
         E2EModels(text_model, text_params, audio_model, audio_params, fusion_model, fusion_params),
         utterance_batch=args.utterance_batch,
         dialogue_batch=int(fusion_cfg.test.data_loader.batch_size),
+        engine="int8" if args.int8 else "bf16",
     )
 
     batches = mixed_utterance_batches(text_ds, w2v_ds, batch_size=args.utterance_batch)

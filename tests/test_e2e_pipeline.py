@@ -75,6 +75,14 @@ class TestStreamingPipeline:
         np.testing.assert_allclose(host_result["accuracy"], result["accuracy"], atol=1e-9)
         np.testing.assert_allclose(host_result["weighted_f1"], result["weighted_f1"], atol=1e-9)
 
+        # int8 engine mode: full pipeline through the quantized serving
+        # engines (per-model error envelopes are pinned in test_serving_quant)
+        pipeline8 = StreamingPipeline(models, utterance_batch=8, dialogue_batch=4, engine="int8")
+        batches3 = mixed_utterance_batches(text_ds, w2v_ds, batch_size=8, seconds_buckets=(1.0,))
+        result8 = pipeline8.run(batches3, df)
+        assert result8["n_utterances"] == sizes["val"]
+        assert 0.0 <= result8["accuracy"] <= 1.0
+
 
 class TestFusionCheckpointImport:
     def test_classifier_sequential_index_math(self):
