@@ -134,19 +134,18 @@ def bench_scanned(batcher, n_utterances: int, repeats: int = 3) -> tuple[float, 
     results = []
     for predict, p in [(predict_bf16, bf16_params), (predict_int8, qparams)]:
         sp = ScanPredictor(predict)
-        staged = sp.stage(host_batches)
-        progs = [(sp._group_program(key), stacked) for key, _, stacked in staged]
+        staged = [stacked for _, _, stacked in sp.stage(host_batches)]
         last = None
-        for prog, stacked in progs:
-            last = prog(p, stacked)
+        for stacked in staged:
+            last = sp._run(p, stacked)
         np.asarray(last)  # compile + sync
         inner = 10
         times = []
         for _ in range(repeats):
             t0 = time.perf_counter()
             for _ in range(inner):
-                for prog, stacked in progs:
-                    last = prog(p, stacked)
+                for stacked in staged:
+                    last = sp._run(p, stacked)
             np.asarray(last)  # in-order execution: syncs everything above
             times.append((time.perf_counter() - t0) / inner)
         results.append(n_utterances / min(times))

@@ -40,7 +40,7 @@ def cdist(x: jnp.ndarray, y: jnp.ndarray) -> jnp.ndarray:
 @partial(jax.jit, static_argnames=("batch_size",))
 def hard_triplets_from_pool(
     embeddings: jnp.ndarray, labels: jnp.ndarray, batch_size: int
-) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+) -> jnp.ndarray:
     """Hard mining over an embedded candidate pool.
 
     Parity with reference mine_hard_triplets (audio_mel/dataset.py:298-391):
@@ -162,14 +162,18 @@ class TripletMiner:
             return self._mine_hard(batch_size)
         raise ValueError("mining_type must be 'hard', 'semi-hard' or 'random'")
 
-    def _mine_hard(self, batch_size: int):
-        # reference rounds the pool down to a multiple of batch_size (:305)
+    def _hard_pool_apn(self, batch_size: int):
+        """Shared core of both hard-mining paths: sample the class-uniform
+        pool (reference rounds it down to a multiple of batch_size, :305),
+        embed it, select — returns (host pool rows, [3, B] device apn)."""
         pool_size = max((self.len_triplet_picking // batch_size) * batch_size, batch_size)
         pool = self.sampler.sample_class_uniform(pool_size)
         emb = self.embed_fn(pool)
-        apn = np.asarray(  # ONE D2H fetch for all three index rows
-            hard_triplets_from_pool(emb, jnp.asarray(self.labels[pool]), batch_size)
-        )
+        return pool, hard_triplets_from_pool(emb, jnp.asarray(self.labels[pool]), batch_size)
+
+    def _mine_hard(self, batch_size: int):
+        pool, apn = self._hard_pool_apn(batch_size)
+        apn = np.asarray(apn)  # ONE D2H fetch for all three index rows
         return pool[apn[0]], pool[apn[1]], pool[apn[2]]
 
     def mine_hard_rows_device(self, batch_size: int) -> "jnp.ndarray":
@@ -178,10 +182,7 @@ class TripletMiner:
         negatives) rows. With an HBM spectrogram cache downstream, a whole
         hard-mining train step then runs with zero host<->device syncs —
         pool sampling is host RNG, everything after is device dataflow."""
-        pool_size = max((self.len_triplet_picking // batch_size) * batch_size, batch_size)
-        pool = self.sampler.sample_class_uniform(pool_size)
-        emb = self.embed_fn(pool)
-        apn = hard_triplets_from_pool(emb, jnp.asarray(self.labels[pool]), batch_size)
+        pool, apn = self._hard_pool_apn(batch_size)
         return jnp.asarray(pool.astype(np.int32))[apn.reshape(-1)]
 
     def _mine_semihard(self, batch_size: int, margin: float, max_rounds: int = 50, oversample: int = 4):

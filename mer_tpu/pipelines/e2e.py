@@ -197,16 +197,24 @@ class StreamingPipeline:
         if not fetch:
             # flat HBM tables in dispatch order (one concatenate dispatch);
             # pos maps dataset rows -> table positions (first occurrence wins,
-            # duplicate rows are batch padding with emotion == -1)
+            # duplicate rows are batch padding with emotion == -1). Offsets
+            # come from a running sum, so ragged batch sizes are handled.
             table_t = jnp.concatenate([te for _, te, _ in pending], axis=0)
             table_a = jnp.concatenate([ae for _, _, ae in pending], axis=0)
             n_rows = 1 + max(int(np.max(idx)) for idx, _ in host)
             pos = np.full((n_rows,), -1, np.int64)
-            batch_rows = pending[0][1].shape[0]
+            offset = 0
             for i, (idx, emotion) in enumerate(host):
                 valid = emotion != -1
-                pos[idx[valid]] = i * batch_rows + np.nonzero(valid)[0]
-            assert (pos >= 0).all(), "utterance rows missing from the stream"
+                pos[idx[valid]] = offset + np.nonzero(valid)[0]
+                offset += pending[i][1].shape[0]
+            if not (pos >= 0).all():
+                missing = int((pos < 0).sum())
+                raise ValueError(
+                    f"{missing} dataset rows never appeared in the utterance stream "
+                    "(or arrived only as emotion==-1 padding) — the device-resident "
+                    "handoff would silently misclassify them as padding"
+                )
             if stage_times is not None:
                 stage_times["embed_fetch_s"] = 0.0  # tables stay in HBM
             return table_t, table_a, pos

@@ -211,12 +211,20 @@ def apply_calibration(qparams: Any, sink: dict, headroom: float = 1.0) -> Any:
     static per-tensor ``act_scale`` entries (scale = headroom * amax / 127).
     Scan-stacked dense nodes (sites keyed (node id, layer)) get an [L] array
     that the production lax.scan slices per layer.  Sites never exercised
-    during calibration keep dynamic quantization."""
+    during calibration keep dynamic quantization.
+
+    Must be called on the SAME tree object the calibration pass ran over —
+    sites are identified by node identity, so rebuilding the tree (e.g.
+    ``jax.device_put``) between calibrate and apply would match nothing;
+    that case raises instead of silently leaving every site dynamic."""
+
+    matched = 0
 
     def scale_of(amax: float):
         return max(headroom * amax / 127.0, 1e-12)
 
     def rec(node):
+        nonlocal matched
         if isinstance(node, dict):
             if "kernel_q" in node:
                 if node["kernel_q"]["q"].ndim == 3:  # scan-stacked [L, K, N]
@@ -226,17 +234,27 @@ def apply_calibration(qparams: Any, sink: dict, headroom: float = 1.0) -> Any:
                         return node
                     out = dict(node)
                     out["act_scale"] = jnp.asarray([scale_of(a) for a in per_layer], jnp.float32)
+                    matched += 1
                     return out
                 amax = sink.get(id(node))
                 if amax is None or amax <= 0.0:
                     return node
                 out = dict(node)
                 out["act_scale"] = jnp.float32(scale_of(amax))
+                matched += 1
                 return out
             return {k: rec(v) for k, v in node.items()}
         return node
 
-    return rec(qparams)
+    out = rec(qparams)
+    if sink and matched == 0:
+        raise ValueError(
+            f"calibration sink has {len(sink)} observed sites but none matched this "
+            "tree — apply_calibration must receive the same tree object the "
+            "calibration pass ran over (device_put/rebuilds change node identity; "
+            "device_put AFTER applying instead)"
+        )
+    return out
 
 
 # ---------------------------------------------------------------------------

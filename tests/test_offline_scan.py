@@ -140,6 +140,29 @@ class TestScanPredictor:
 
         sp = ScanPredictor(predict)
         sp(params, batches)
-        assert len(sp._compiled) == 2  # two bucket shapes
+        misses_first = sp._run._cache_size()
+        assert misses_first == 2  # one compiled program per bucket shape
         sp(params, batches)
-        assert len(sp._compiled) == 2  # second epoch reuses programs
+        assert sp._run._cache_size() == misses_first  # second epoch reuses them
+
+    def test_ragged_batch_sizes_grouped_separately(self):
+        """A smaller final batch forms its own shape group and round-trips."""
+        model = _model()
+        batches = _batches()
+        small = {k: v[:2] for k, v in batches[0].items()}
+        batches = batches + [small]
+        b0 = batches[0]
+        params = model.init(
+            jax.random.PRNGKey(0),
+            jnp.asarray(b0["text"]), jnp.asarray(b0["audio"]), jnp.asarray(b0["padding_mask"]),
+        )["params"]
+
+        def predict(p, b):
+            return jnp.argmax(
+                model.apply({"params": p}, b["text"], b["audio"], b["padding_mask"]), -1
+            )
+
+        out = ScanPredictor(predict)(params, batches)
+        assert out[-1].shape[0] == 2
+        want = np.asarray(jax.jit(predict)(params, jax.tree.map(jnp.asarray, small)))
+        np.testing.assert_array_equal(want, out[-1])
