@@ -302,3 +302,57 @@ class TestFitWithMesh:
         assert os.path.exists(cfg.checkpoint.save_path)
         result = solver.test(val, state.params)
         assert 0.0 <= result["accuracy"] <= 1.0
+
+
+class TestFEBackboneTensorParallel:
+    """The Megatron-style TP rules are name-generic: they partition the FE
+    encoder stacks (RoBERTa query/key/value..., wav2vec2 q_proj/...) too,
+    not just M2FNet. Forward numerics must be unchanged under tp sharding."""
+
+    def test_roberta_tp_forward_matches_replicated(self):
+        from mer_tpu.models.roberta import RobertaConfig, TextERC
+
+        cfg = RobertaConfig(
+            vocab_size=500, hidden_size=32, num_hidden_layers=2, num_attention_heads=4,
+            intermediate_size=64, max_position_embeddings=40,
+        )
+        model = TextERC(cfg, scan_layers=True)
+        rng = np.random.default_rng(0)
+        ids = jnp.asarray(rng.integers(2, 500, size=(4, 10)).astype(np.int32))
+        mask = jnp.ones((4, 10), jnp.int32)
+        params = model.init(jax.random.PRNGKey(0), ids, mask)["params"]
+
+        want = np.asarray(model.apply({"params": params}, ids, mask))
+
+        mesh = make_mesh(dp=4, tp=2)
+        sharded = shard_params(params, mesh)
+        # the attention/FFN kernels must actually be tp-split
+        qk = sharded["roberta"]["layers_scan"]["layer"]["attention"]["query"]["kernel"]
+        assert "tp" in str(qk.sharding.spec)
+        assert not qk.sharding.is_fully_replicated
+        got = np.asarray(jax.jit(lambda p, i, m: model.apply({"params": p}, i, m))(sharded, ids, mask))
+        np.testing.assert_allclose(got, want, rtol=2e-5, atol=2e-6)
+
+    def test_wav2vec2_tp_forward_matches_replicated(self):
+        from mer_tpu.models.wav2vec2 import AudioERC, Wav2Vec2Config
+
+        cfg = Wav2Vec2Config(
+            conv_dim=(16, 16), conv_kernel=(10, 3), conv_stride=(5, 2),
+            hidden_size=32, num_hidden_layers=2, num_attention_heads=4, intermediate_size=64,
+            num_conv_pos_embeddings=16, num_conv_pos_embedding_groups=4,
+        )
+        model = AudioERC(cfg, scan_layers=True)
+        rng = np.random.default_rng(1)
+        waves = jnp.asarray(rng.normal(size=(2, 1600)).astype(np.float32) * 0.1)
+        lengths = jnp.asarray(np.array([1600, 1200], np.int32))
+        params = model.init(jax.random.PRNGKey(1), waves, lengths)["params"]
+
+        want = np.asarray(model.apply({"params": params}, waves, lengths))
+
+        mesh = make_mesh(dp=4, tp=2)
+        sharded = shard_params(params, mesh)
+        qp = sharded["wav2vec2"]["layers_scan"]["layer"]["q_proj"]["kernel"]
+        assert "tp" in str(qp.sharding.spec)
+        assert not qp.sharding.is_fully_replicated
+        got = np.asarray(jax.jit(lambda p, w, l: model.apply({"params": p}, w, l))(sharded, waves, lengths))
+        np.testing.assert_allclose(got, want, rtol=2e-5, atol=2e-6)
