@@ -111,8 +111,16 @@ class FESolver:
         inputs = self.batch_to_inputs(jax.tree.map(jnp.asarray, example_batch))
         params = self.model.init({"params": rng}, *inputs)["params"]
         if self.mesh is not None:
-            # params replicated over the mesh; GSPMD all-reduces grads over dp
-            params = jax.device_put(params, replicated(self.mesh))
+            if "tp" in self.mesh.axis_names and self.mesh.shape["tp"] > 1:
+                # Megatron-style TP over the encoder stack (the rules are
+                # name-generic, parallel/mesh.py) + dp grad all-reduce;
+                # optimizer moments inherit the kernel shardings
+                from mer_tpu.parallel.mesh import shard_params
+
+                params = shard_params(params, self.mesh)
+            else:
+                # params replicated over the mesh; GSPMD all-reduces grads over dp
+                params = jax.device_put(params, replicated(self.mesh))
 
         labels = self._labels_tree(params)
         self.opt_frozen = optax.multi_transform(

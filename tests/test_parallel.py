@@ -208,7 +208,11 @@ class TestFESolverDP:
         )
 
         losses = {}
-        for name, mesh in [("single", None), ("dp8", make_mesh(dp=8, tp=1))]:
+        for name, mesh in [
+            ("single", None),
+            ("dp8", make_mesh(dp=8, tp=1)),
+            ("dp4tp2", make_mesh(dp=4, tp=2)),  # TP over the encoder kernels
+        ]:
             solver = FESolver(
                 TextERC(small), cfg, backbone_key="roberta",
                 batch_to_inputs=lambda b: (b["text"], b["attention_mask"]),
@@ -217,12 +221,16 @@ class TestFESolverDP:
             batcher = TextBatcher(train_ds, batch_size=8, shuffle=False)
             state = solver.init_state(next(iter(batcher)), steps_per_epoch=len(batcher))
             if mesh is not None:
-                # params really live on the mesh (replicated over all 8 devices)
+                # params really live on the mesh (all 8 devices)
                 assert len(jax.tree.leaves(state["params"])[0].sharding.device_set) == 8
+            if name == "dp4tp2":
+                qk = state["params"]["roberta"]["layer_0"]["attention"]["query"]["kernel"]
+                assert "tp" in str(qk.sharding.spec) and not qk.sharding.is_fully_replicated
             state, loss = solver.train_epoch(state, batcher, epoch=0, rng=jax.random.PRNGKey(1))
             losses[name] = loss
         assert np.isfinite(losses["single"])
         np.testing.assert_allclose(losses["single"], losses["dp8"], rtol=1e-4)
+        np.testing.assert_allclose(losses["single"], losses["dp4tp2"], rtol=1e-4)
 
     def test_mel_solver_epoch_sharded_matches_single_device(self, meld_like_root_with_wavs, tmp_path):
         from mer_tpu.core import Config
