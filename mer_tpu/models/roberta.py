@@ -186,9 +186,12 @@ class TextERC(nn.Module):
     cfg: RobertaConfig
     dtype: jnp.dtype = jnp.float32
     scan_layers: bool = False
+    remat: bool = False  # rematerialize each layer in the backward (memory<->FLOPs)
 
     def setup(self):
-        self.roberta = RobertaModel(self.cfg, dtype=self.dtype, scan_layers=self.scan_layers)
+        self.roberta = RobertaModel(
+            self.cfg, dtype=self.dtype, scan_layers=self.scan_layers, remat=self.remat
+        )
         self.classifier_head = RobertaClassificationHead(self.cfg, dtype=self.dtype)
 
     def __call__(self, input_ids, attention_mask, deterministic: bool = True):

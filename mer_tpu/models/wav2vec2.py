@@ -196,9 +196,12 @@ class AudioERC(nn.Module):
     cfg: Wav2Vec2Config
     dtype: jnp.dtype = jnp.float32
     scan_layers: bool = False
+    remat: bool = False  # rematerialize each layer in the backward (memory<->FLOPs)
 
     def setup(self):
-        self.wav2vec2 = Wav2Vec2Model(self.cfg, dtype=self.dtype, scan_layers=self.scan_layers)
+        self.wav2vec2 = Wav2Vec2Model(
+            self.cfg, dtype=self.dtype, scan_layers=self.scan_layers, remat=self.remat
+        )
         self.head_dense = nn.Dense(self.cfg.hidden_size, dtype=self.dtype)
         self.head_out = nn.Dense(self.cfg.num_labels, dtype=self.dtype)
 

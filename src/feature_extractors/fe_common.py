@@ -37,6 +37,10 @@ def parse_args(argv=None, default_config: str | None = None):
     p.add_argument("--bf16", action="store_true",
                    help="mel pipeline: bf16 conv compute (f32 params, f32 "
                         "embeddings/losses) — 2x MXU rate on the ResNet")
+    p.add_argument("--remat", action="store_true",
+                   help="text/wav2vec2 fine-tune: rematerialize each encoder "
+                        "layer in the backward (activation memory ~1/L at the "
+                        "cost of one extra forward)")
     return p.parse_args(argv)
 
 
@@ -55,7 +59,7 @@ def load_text_model_and_tokenizer(args, variant: str | None = None, config=None)
         or "roberta-base"
     )
     cfg = RobertaConfig.large() if "large" in variant else RobertaConfig.base()
-    model = TextERC(cfg, scan_layers=True)
+    model = TextERC(cfg, scan_layers=True, remat=bool(getattr(args, "remat", False)))
 
     tokenizer = (
         ToyWhitespaceTokenizer(vocab_size=cfg.vocab_size)
@@ -76,7 +80,7 @@ def load_wav2vec2_model(args, variant: str = "facebook/wav2vec2-base"):
     from mer_tpu.models.wav2vec2 import AudioERC, Wav2Vec2Config, convert_hf_wav2vec2
 
     cfg = Wav2Vec2Config.base()
-    model = AudioERC(cfg, scan_layers=True)
+    model = AudioERC(cfg, scan_layers=True, remat=bool(getattr(args, "remat", False)))
     pretrained_params = None
     if not args.random_init:
         import transformers

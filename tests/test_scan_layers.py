@@ -119,3 +119,78 @@ class TestScanEquivalence:
                     assert leaf.shape[dim] % 2 == 0
                     n_tp += 1
         assert n_tp > 0
+
+
+class TestRematEquivalence:
+    """remat=True must change memory, never numerics: loss and grads equal."""
+
+    def test_roberta_remat_grads_equal(self):
+        from mer_tpu.models.roberta import RobertaConfig, TextERC
+
+        cfg = RobertaConfig(
+            vocab_size=300, hidden_size=32, num_hidden_layers=2, num_attention_heads=4,
+            intermediate_size=64, max_position_embeddings=40,
+        )
+        rng = np.random.default_rng(0)
+        ids = jnp.asarray(rng.integers(2, 300, size=(2, 9)).astype(np.int32))
+        mask = jnp.ones((2, 9), jnp.int32)
+        labels = jnp.asarray([1, 4])
+
+        grads = {}
+        params = None
+        for remat in [False, True]:
+            model = TextERC(cfg, scan_layers=True, remat=remat)
+            if params is None:
+                params = model.init(jax.random.PRNGKey(0), ids, mask)["params"]
+
+            def loss_fn(p):
+                logits = model.apply({"params": p}, ids, mask)
+                return -jnp.mean(
+                    jnp.take_along_axis(jax.nn.log_softmax(logits), labels[:, None], axis=1)
+                )
+
+            loss, g = jax.jit(jax.value_and_grad(loss_fn))(params)
+            grads[remat] = (float(loss), g)
+
+        np.testing.assert_allclose(grads[False][0], grads[True][0], rtol=1e-6)
+        jax.tree.map(
+            lambda a, b: np.testing.assert_allclose(a, b, rtol=2e-3, atol=1e-5),
+            grads[False][1], grads[True][1],
+        )
+
+    def test_wav2vec2_remat_grads_equal(self):
+        from mer_tpu.models.wav2vec2 import AudioERC, Wav2Vec2Config
+
+        cfg = Wav2Vec2Config(
+            conv_dim=(8, 8), conv_kernel=(10, 3), conv_stride=(5, 2),
+            hidden_size=16, num_hidden_layers=2, num_attention_heads=2, intermediate_size=32,
+            num_conv_pos_embeddings=8, num_conv_pos_embedding_groups=2,
+        )
+        rng = np.random.default_rng(1)
+        waves = jnp.asarray(rng.normal(size=(2, 800)).astype(np.float32) * 0.1)
+        lengths = jnp.asarray(np.array([800, 600], np.int32))
+        labels = jnp.asarray([0, 6])
+
+        grads = {}
+        params = None
+        for remat in [False, True]:
+            model = AudioERC(cfg, scan_layers=True, remat=remat)
+            if params is None:
+                params = model.init(jax.random.PRNGKey(1), waves, lengths)["params"]
+
+            def loss_fn(p):
+                logits = model.apply({"params": p}, waves, lengths)
+                return -jnp.mean(
+                    jnp.take_along_axis(jax.nn.log_softmax(logits), labels[:, None], axis=1)
+                )
+
+            loss, g = jax.jit(jax.value_and_grad(loss_fn))(params)
+            grads[remat] = (float(loss), g)
+
+        np.testing.assert_allclose(grads[False][0], grads[True][0], rtol=1e-6)
+        # remat recomputes the forward inside the backward; XLA refuses
+        # bit-identical guarantees there, so compare at float tolerance
+        jax.tree.map(
+            lambda a, b: np.testing.assert_allclose(a, b, rtol=2e-3, atol=1e-5),
+            grads[False][1], grads[True][1],
+        )
