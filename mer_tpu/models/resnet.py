@@ -19,6 +19,7 @@ from __future__ import annotations
 from functools import partial
 
 import jax.numpy as jnp
+import numpy as np
 from flax import linen as nn
 
 
@@ -113,3 +114,54 @@ class AudioMelFeatureExtractor(nn.Module):
         x = x.astype(jnp.float32)
         norm = jnp.linalg.norm(x, axis=-1, keepdims=True)
         return x / jnp.maximum(norm, 1e-12)
+
+
+# ---------------------------------------------------------------------------
+# torch (torchvision-layout) -> flax conversion
+# ---------------------------------------------------------------------------
+
+
+def _np_t(t) -> np.ndarray:
+    if isinstance(t, np.ndarray):
+        return t.astype(np.float32)
+    return t.detach().cpu().numpy().astype(np.float32)
+
+
+def convert_torch_mel_extractor(sd) -> tuple[dict, dict]:
+    """Convert a reference AudioMelFeatureExtractor state_dict
+    (``resnet18.*`` in torchvision layout + ``projector.1`` Linear,
+    reference audio_mel/model.py:10-23) to this module's (params,
+    batch_stats) trees.  Conv weights transpose OIHW -> HWIO."""
+
+    def conv(k):
+        return {"kernel": _np_t(sd[f"{k}.weight"]).transpose(2, 3, 1, 0)}
+
+    def bn(k):
+        return (
+            {"scale": _np_t(sd[f"{k}.weight"]), "bias": _np_t(sd[f"{k}.bias"])},
+            {"mean": _np_t(sd[f"{k}.running_mean"]), "var": _np_t(sd[f"{k}.running_var"])},
+        )
+
+    def linear(k):
+        return {"kernel": _np_t(sd[f"{k}.weight"]).T, "bias": _np_t(sd[f"{k}.bias"])}
+
+    params: dict = {"resnet18": {}}
+    stats: dict = {"resnet18": {}}
+    p, s = params["resnet18"], stats["resnet18"]
+    p["conv1"] = conv("resnet18.conv1")
+    p["bn1"], s["bn1"] = bn("resnet18.bn1")
+    for stage in range(1, 5):
+        for block in range(2):
+            name = f"layer{stage}_{block}"
+            tname = f"resnet18.layer{stage}.{block}"
+            bp: dict = {"conv1": conv(f"{tname}.conv1"), "conv2": conv(f"{tname}.conv2")}
+            bs: dict = {}
+            bp["bn1"], bs["bn1"] = bn(f"{tname}.bn1")
+            bp["bn2"], bs["bn2"] = bn(f"{tname}.bn2")
+            if f"{tname}.downsample.0.weight" in sd:
+                bp["downsample_conv"] = conv(f"{tname}.downsample.0")
+                bp["downsample_bn"], bs["downsample_bn"] = bn(f"{tname}.downsample.1")
+            p[name], s[name] = bp, bs
+    p["fc"] = linear("resnet18.fc")
+    params["projector"] = linear("projector.1")
+    return params, stats
