@@ -171,7 +171,18 @@ def bench_fe_export_int8(results: dict) -> None:
     n = 32 * len(batches)
     timed_loop(lambda ids, m: embed_bf16(bf16_params, ids, m), batches, n, "roberta_export_bf16_utt_per_s")
     timed_loop(lambda ids, m: embed_int8(qp, ids, m), batches, n, "roberta_export_int8_utt_per_s")
-    del params, bf16_params, qp
+
+    # static activation calibration: per-tensor scales from one batch replace
+    # the per-row dynamic abs-max reductions at serving time (quant.py)
+    from mer_tpu.serving import apply_calibration, calibration
+
+    qp_host = quantize_roberta(params)  # calibrate on the host tree (identity-keyed)
+    with calibration() as sink:
+        server.embed(qp_host, *batches[0])  # eager observer pass
+    qp_static = jax.device_put(apply_calibration(qp_host, sink))
+    timed_loop(lambda ids, m: embed_int8(qp_static, ids, m), batches, n,
+               "roberta_export_int8_static_utt_per_s")
+    del params, bf16_params, qp, qp_host, qp_static
 
     # --- wav2vec2-base, batch 8 x 4 s (reference truncates at 10 s)
     audio_model = AudioERC(Wav2Vec2Config.base(), dtype=jnp.bfloat16, scan_layers=True)
