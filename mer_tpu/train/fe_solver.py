@@ -90,6 +90,12 @@ class FESolver:
             self.finetune_wd = float(s.weight_decay)
             self.warmup_epochs = int(s.warmup_epochs)
         self.num_frozen_epochs = int(s.num_frozen_epochs)
+        # grad_accum_steps > 1: optax.MultiSteps averages k micro-batch
+        # gradients before each optimizer update — effective batch k*B at
+        # batch-B memory (the reference caps wav2vec2 at batch 2 purely for
+        # GPU memory, audio_wav2vec2/config.yaml:26). Warmup is counted in
+        # optimizer UPDATES, not micro-steps.
+        self.grad_accum = int(config.get_path("solver.grad_accum_steps", 1))
 
         self._built = False
 
@@ -123,15 +129,22 @@ class FESolver:
                 params = jax.device_put(params, replicated(self.mesh))
 
         labels = self._labels_tree(params)
-        self.opt_frozen = optax.multi_transform(
-            {
-                "backbone": optax.set_to_zero(),
-                "head": torch_adamw(self.frozen_lr, weight_decay=self.frozen_wd),
-            },
-            labels,
+
+        def accum(opt):
+            return optax.MultiSteps(opt, every_k_schedule=self.grad_accum) if self.grad_accum > 1 else opt
+
+        self.opt_frozen = accum(
+            optax.multi_transform(
+                {
+                    "backbone": optax.set_to_zero(),
+                    "head": torch_adamw(self.frozen_lr, weight_decay=self.frozen_wd),
+                },
+                labels,
+            )
         )
-        self.finetune_schedule = constant_with_warmup(self.finetune_lr, self.warmup_epochs * steps_per_epoch)
-        self.opt_finetune = torch_adamw(self.finetune_schedule, weight_decay=self.finetune_wd)
+        updates_per_epoch = max(steps_per_epoch // self.grad_accum, 1)
+        self.finetune_schedule = constant_with_warmup(self.finetune_lr, self.warmup_epochs * updates_per_epoch)
+        self.opt_finetune = accum(torch_adamw(self.finetune_schedule, weight_decay=self.finetune_wd))
 
         frozen_state = self.opt_frozen.init(params)
         finetune_state = self.opt_finetune.init(params)
