@@ -160,7 +160,8 @@ def bench_fe_export_int8(results: dict) -> None:
     embed_bf16 = jax.jit(
         lambda p, ids, m: text_model.apply({"params": p}, ids, m, method=TextERC.embed)
     )
-    qp = jax.device_put(quantize_roberta(params))
+    qp_host = quantize_roberta(params)  # host tree kept for identity-keyed calibration
+    qp = jax.device_put(qp_host)
     server = RobertaInt8(text_model)
     embed_int8 = jax.jit(server.embed)
 
@@ -176,7 +177,6 @@ def bench_fe_export_int8(results: dict) -> None:
     # the per-row dynamic abs-max reductions at serving time (quant.py)
     from mer_tpu.serving import apply_calibration, calibration
 
-    qp_host = quantize_roberta(params)  # calibrate on the host tree (identity-keyed)
     with calibration() as sink:
         server.embed(qp_host, *batches[0])  # eager observer pass
     qp_static = jax.device_put(apply_calibration(qp_host, sink))

@@ -152,8 +152,11 @@ class RobertaModel(nn.Module):
             )(c, dtype=self.dtype, name="layers_scan")
             hidden, _ = scanned(hidden, key_padding_mask, deterministic)
         else:
+            layer_cls = RobertaLayer
+            if self.remat:
+                layer_cls = nn.remat(RobertaLayer, static_argnums=(3,))
             for i in range(c.num_hidden_layers):
-                hidden = RobertaLayer(c, dtype=self.dtype, name=f"layer_{i}")(
+                hidden = layer_cls(c, dtype=self.dtype, name=f"layer_{i}")(
                     hidden, key_padding_mask, deterministic
                 )
         return hidden  # last_hidden_state

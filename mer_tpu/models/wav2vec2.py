@@ -182,8 +182,11 @@ class Wav2Vec2Model(nn.Module):
             )(c, dtype=self.dtype, name="layers_scan")
             x, _ = scanned(x, key_padding_mask, deterministic)
         else:
+            layer_cls = Wav2Vec2EncoderLayer
+            if self.remat:
+                layer_cls = nn.remat(Wav2Vec2EncoderLayer, static_argnums=(3,))
             for i in range(c.num_hidden_layers):
-                x = Wav2Vec2EncoderLayer(c, dtype=self.dtype, name=f"layer_{i}")(
+                x = layer_cls(c, dtype=self.dtype, name=f"layer_{i}")(
                     x, key_padding_mask, deterministic
                 )
         return x, out_lengths

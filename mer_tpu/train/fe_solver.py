@@ -274,7 +274,10 @@ class FESolver:
                 save_checkpoint(save_path, epoch=epoch, params=state["params"])
 
             is_frozen = epoch < self.num_frozen_epochs
-            lr = self.frozen_lr if is_frozen else float(self.finetune_schedule(state["step"] - 1))
+            # the schedule horizon is denominated in optimizer UPDATES; with
+            # grad accumulation the state counts micro-steps, so divide
+            n_updates = (state["step"] - 1) // self.grad_accum
+            lr = self.frozen_lr if is_frozen else float(self.finetune_schedule(n_updates))
             self.logger.log_epoch(
                 epoch, lr=lr, loss_train=loss_train, loss_val=loss_val,
                 accuracy=metrics.batch_averaged_accuracy,

@@ -109,6 +109,17 @@ class MelSolver:
 
     # -- setup -----------------------------------------------------------------
 
+    def set_batch_stats(self, stats: dict) -> None:
+        """Replace the (eval-mode, constant) BatchNorm statistics.
+
+        The jitted programs bake ``self._batch_stats`` in as closure
+        constants at first trace, so assigning the attribute directly after
+        any embed/step has run would be silently ignored by the cached
+        traces — this re-creates the embed jit (training steps are rebuilt
+        by init_state). Use before exporting from imported checkpoints."""
+        self._batch_stats = stats
+        self._embed = jax.jit(self._apply)
+
     def init_state(self) -> TrainState:
         # one-time HBM spectrogram caches: every subsequent mining pool /
         # triplet batch is a device gather instead of a host wav transfer

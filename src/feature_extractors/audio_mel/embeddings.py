@@ -45,19 +45,21 @@ def main(argv=None, save_dir: str = "embeddings/audio_mel"):
     state = solver.init_state()
 
     ckpt_path = os.path.abspath(str(config.checkpoint.save_path))
+    if not os.path.exists(ckpt_path):
+        raise FileNotFoundError(f"Checkpoint not found at {ckpt_path} — train first")
     if ckpt_path.endswith((".pth", ".pt")):
-        # reference torch checkpoint (best_weights.pth): convert in place
+        # reference torch checkpoint (best_weights.pth): convert in place;
+        # restore_into validates shapes against the initialized trees
         import torch
 
         from mer_tpu.models.resnet import convert_torch_mel_extractor
 
         ckpt = torch.load(ckpt_path, map_location="cpu", weights_only=True)
         sd = ckpt.get("model_state_dict", ckpt)
-        params, batch_stats = convert_torch_mel_extractor(sd)
-        solver._batch_stats = batch_stats
+        converted, batch_stats = convert_torch_mel_extractor(sd)
+        params = restore_into(state.params, converted)
+        solver.set_batch_stats(restore_into(solver._batch_stats, batch_stats))
         print(f"Converted reference torch checkpoint {ckpt_path}")
-    elif not os.path.exists(ckpt_path):
-        raise FileNotFoundError(f"Checkpoint not found at {ckpt_path} — train first")
     else:
         restored = load_checkpoint(ckpt_path)
         params = restore_into(state.params, restored["params"])

@@ -92,12 +92,22 @@ def load_wav2vec2_model(args, variant: str = "facebook/wav2vec2-base"):
 
 def with_pretrained_backbone(solver, state: dict, backbone_key: str, pretrained_params):
     """Overwrite the backbone subtree of an initialized FE state with
-    imported pretrained weights."""
+    imported pretrained weights, preserving each leaf's device placement —
+    restore_into returns host numpy, and dropping the template's sharding
+    would ship the whole backbone unsharded through the first train step
+    (and force a recompile when step 1's output comes back sharded)."""
     if pretrained_params is None:
         return state
+    import jax
+
     from mer_tpu.train.checkpoint import restore_into
 
-    state["params"][backbone_key] = restore_into(state["params"][backbone_key], pretrained_params)
+    template = state["params"][backbone_key]
+    restored = restore_into(template, pretrained_params)
+    state["params"][backbone_key] = jax.tree.map(
+        lambda t, r: jax.device_put(r, t.sharding) if isinstance(t, jax.Array) else r,
+        template, restored,
+    )
     return state
 
 

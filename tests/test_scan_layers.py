@@ -124,7 +124,8 @@ class TestScanEquivalence:
 class TestRematEquivalence:
     """remat=True must change memory, never numerics: loss and grads equal."""
 
-    def test_roberta_remat_grads_equal(self):
+    @pytest.mark.parametrize("scan_layers", [True, False])
+    def test_roberta_remat_grads_equal(self, scan_layers):
         from mer_tpu.models.roberta import RobertaConfig, TextERC
 
         cfg = RobertaConfig(
@@ -139,7 +140,7 @@ class TestRematEquivalence:
         grads = {}
         params = None
         for remat in [False, True]:
-            model = TextERC(cfg, scan_layers=True, remat=remat)
+            model = TextERC(cfg, scan_layers=scan_layers, remat=remat)
             if params is None:
                 params = model.init(jax.random.PRNGKey(0), ids, mask)["params"]
 
