@@ -206,6 +206,70 @@ def bench_fe_export_int8(results: dict) -> None:
     timed_loop(lambda w, l: aembed_int8(aqp, w, l), abatches, an, "wav2vec2_export_int8_utt_per_s")
 
 
+def bench_fe_train(results: dict) -> None:
+    """Stage-1 fine-tune train-step throughput (fwd+bwd+AdamW) at working
+    shapes: RoBERTa-base batch 8 x 256 tokens, wav2vec2-base batch 2 x 10 s
+    (the reference's batch sizes, text/config.yaml / audio_wav2vec2
+    config.yaml:26). Device-chained timing via the step's loss output."""
+    import jax
+    import jax.numpy as jnp
+
+    from mer_tpu.core import Config
+    from mer_tpu.models.roberta import RobertaConfig, TextERC
+    from mer_tpu.models.wav2vec2 import AudioERC, Wav2Vec2Config
+    from mer_tpu.train import FESolver
+
+    cfg = Config(
+        {
+            "checkpoint": {"save_checkpoint": False, "save_path": "/tmp/fe_bench.ckpt"},
+            "solver": {
+                "loss_fn": "CE", "balance_classes": False,
+                "warmup_epochs": 0, "num_frozen_epochs": 0,
+                "frozen_lr": 1e-4, "finetuning_lr": 2e-6, "weight_decay": 0.01,
+                "epochs": 1,
+                "early_stopping": {"enabled": False, "patience": 1, "restore_best_weights": False},
+            },
+            "wandb": {"enabled": False},
+        }
+    )
+    rng = np.random.default_rng(0)
+
+    def timed_steps(solver, batch, n_items, label, iters=20):
+        state = solver.init_state(batch, steps_per_epoch=iters)
+        dev = jax.tree.map(jnp.asarray, batch)
+        key = jax.random.PRNGKey(0)
+        state, loss = solver._step_finetune(state, dev, key)
+        float(loss)  # compile + sync
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            state, loss = solver._step_finetune(state, dev, key)
+        float(loss)  # chained: syncs the whole run
+        dt = (time.perf_counter() - t0) / iters
+        results[label] = round(n_items / dt, 1)
+
+    text_solver = FESolver(
+        TextERC(RobertaConfig.base(), scan_layers=True), cfg, backbone_key="roberta",
+        batch_to_inputs=lambda b: (b["text"], b["attention_mask"]),
+    )
+    text_batch = {
+        "text": rng.integers(2, 50000, size=(8, 256)).astype(np.int32),
+        "attention_mask": np.ones((8, 256), np.int32),
+        "emotion": rng.integers(0, 7, size=(8,)).astype(np.int32),
+    }
+    timed_steps(text_solver, text_batch, 8, "roberta_finetune_utt_per_s")
+
+    w2v_solver = FESolver(
+        AudioERC(Wav2Vec2Config.base(), scan_layers=True), cfg, backbone_key="wav2vec2",
+        batch_to_inputs=lambda b: (b["audio"], b["lengths"]),
+    )
+    w2v_batch = {
+        "audio": (rng.normal(size=(2, 160000)) * 0.1).astype(np.float32),
+        "lengths": np.full((2,), 160000, np.int32),
+        "emotion": rng.integers(0, 7, size=(2,)).astype(np.int32),
+    }
+    timed_steps(w2v_solver, w2v_batch, 2, "wav2vec2_finetune_utt_per_s")
+
+
 def _device_timed(fn, args, iters: int) -> float:
     """Device-chained timing: iters iterations inside one jitted scan with a
     data dependency (immune to per-dispatch tunnel latency)."""
@@ -385,6 +449,7 @@ def main():
     bench_fusion(results)
     bench_fusion_int8(results)
     bench_fe_export_int8(results)
+    bench_fe_train(results)
     bench_mel_pipeline(results, data_root)
     bench_e2e(results, data_root)
 
