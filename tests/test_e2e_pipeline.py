@@ -84,6 +84,52 @@ class TestStreamingPipeline:
         assert 0.0 <= result8["accuracy"] <= 1.0
 
 
+class TestDeviceResidentRaggedBatches:
+    def test_ragged_stream_positions_correct(self, meld_like_root_with_wavs):
+        """The device-resident handoff must map rows correctly when the
+        utterance stream carries ragged batch sizes (running-offset math,
+        not first-batch-size multiplication)."""
+        root, _ = meld_like_root_with_wavs
+        tok = ToyWhitespaceTokenizer(vocab_size=1000)
+        text_ds = TextFeatureDataset("val", tok, data_root=root)
+        w2v_ds = Wav2Vec2FeatureDataset("val", data_root=root)
+        df = map_emotions(get_text("val", data_root=root))
+
+        rng = jax.random.PRNGKey(0)
+        text_model = TextERC(ROBERTA)
+        audio_model = AudioERC(W2V)
+        fusion_model = M2FNet(
+            d_model_audio=D, d_model_text=D, d_model_fam=D,
+            n_head_audio=4, n_head_text=4, n_head_fam=4,
+            n_layers_audio=1, n_layers_text=1, n_layers_fam=1,
+            hidden_size_classifier=D,
+        )
+        models = E2EModels(
+            text_model,
+            text_model.init(rng, jnp.zeros((2, 8), jnp.int32), jnp.ones((2, 8), jnp.int32))["params"],
+            audio_model,
+            audio_model.init(rng, jnp.zeros((2, 16000)), jnp.full((2,), 16000))["params"],
+            fusion_model,
+            fusion_model.init(
+                rng, jnp.zeros((2, 4, D)), jnp.zeros((2, 4, D)), jnp.zeros((2, 4), bool)
+            )["params"],
+        )
+        pipeline = StreamingPipeline(models, utterance_batch=8, dialogue_batch=4)
+
+        def ragged(batches):
+            """Truncate every batch's padding rows: ragged real batch sizes."""
+            for b in batches:
+                n = int((b["emotion"] != -1).sum()) or 1
+                yield {k: v[:n] for k, v in b.items()}
+
+        full = list(mixed_utterance_batches(text_ds, w2v_ds, batch_size=8, seconds_buckets=(1.0,)))
+        want = pipeline.run(iter(full), df)
+        got = pipeline.run(ragged(full), df)
+        assert got["n_utterances"] == want["n_utterances"]
+        np.testing.assert_allclose(got["accuracy"], want["accuracy"], atol=1e-9)
+        np.testing.assert_allclose(got["weighted_f1"], want["weighted_f1"], atol=1e-9)
+
+
 class TestFusionCheckpointImport:
     def test_classifier_sequential_index_math(self):
         """The reference's output_layer is an nn.Sequential whose Linear
