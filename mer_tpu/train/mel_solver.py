@@ -318,7 +318,9 @@ class MelSolver:
             if save_ckpt:
                 save_checkpoint(save_path, epoch=epoch, params=state.params, opt_state=state.opt_state, extra=extra)
 
-            lr = float(self._schedule(state.step - 1)) if self._schedule else float(cfg.solver.lr)
+            # schedule counts optimizer updates; state.step counts micro-steps
+            accum = int(cfg.get_path("solver.grad_accum_steps", 1) or 1)
+            lr = float(self._schedule((state.step - 1) // accum)) if self._schedule else float(cfg.solver.lr)
             self.logger.print(
                 f"Epoch: {epoch}  Lr: {lr:.8f}  Loss: Train = [{loss_train:.3E}] - Val = [{loss_val:.3E}] ({dt:.1f}s)"
             )

@@ -87,17 +87,27 @@ def constant_with_warmup(base_lr: float, warmup_steps: int) -> Callable[[jnp.nda
 
 
 def optimizer_from_config(solver_cfg, steps_per_epoch: int) -> tuple[optax.GradientTransformation, Callable]:
-    """Build the fusion-style optimizer from a reference solver YAML block."""
+    """Build the fusion-style optimizer from a reference solver YAML block.
+
+    ``solver.grad_accum_steps > 1`` wraps the optimizer in optax.MultiSteps
+    (k micro-gradients average into one update); the schedule's horizon and
+    the inner optimizer's step count are then denominated in UPDATES, so
+    callers logging LR must divide the micro-step counter by k."""
     base_lr = float(solver_cfg.lr)
     wd = float(solver_cfg.get("weight_decay", 0.0))
+    accum = int(solver_cfg.get("grad_accum_steps", 1) or 1)
     sched_cfg = solver_cfg.get("scheduler", None)
     if sched_cfg and sched_cfg.get("enabled", False):
         if sched_cfg.get("scheduler_fn") != "ExponentialLR":
             raise ValueError("Scheduler not supported")
-        schedule = exponential_lr(base_lr, float(sched_cfg.gamma), steps_per_epoch)
+        updates_per_epoch = max(steps_per_epoch // accum, 1)
+        schedule = exponential_lr(base_lr, float(sched_cfg.gamma), updates_per_epoch)
     else:
         schedule = lambda step: jnp.asarray(base_lr)
-    return torch_adam(schedule, weight_decay=wd), schedule
+    opt = torch_adam(schedule, weight_decay=wd)
+    if accum > 1:
+        opt = optax.MultiSteps(opt, every_k_schedule=accum)
+    return opt, schedule
 
 
 # ---------------------------------------------------------------------------
@@ -357,7 +367,9 @@ class Solver:
                 else:
                     save_checkpoint(save_path, epoch=epoch, params=state.params, opt_state=state.opt_state, extra=_extra())
 
-            lr = float(self._schedule(state.step - 1)) if self._schedule else float(solver_cfg.lr)
+            # schedule counts optimizer updates; state.step counts micro-steps
+            accum = int(self.config.get_path("solver.grad_accum_steps", 1) or 1)
+            lr = float(self._schedule((state.step - 1) // accum)) if self._schedule else float(solver_cfg.lr)
             self.logger.log_epoch(
                 epoch, lr=lr, loss_train=loss_train, loss_val=loss_val,
                 accuracy=metrics.batch_averaged_accuracy,
