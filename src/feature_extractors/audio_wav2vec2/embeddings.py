@@ -28,7 +28,7 @@ def main(argv=None, save_dir: str = "embeddings/audio_wav2vec2"):
     args = parse_args(argv, default_config=CONFIG)
     config = load_config(args.config)
 
-    model, pretrained = load_wav2vec2_model(args)
+    model, pretrained = load_wav2vec2_model(args, config=config)
 
     ds0 = Wav2Vec2FeatureDataset("val", data_root=args.data_root)
     dl0 = Wav2Vec2Batcher(ds0, 4)

@@ -24,7 +24,7 @@ def main(argv=None):
     args = parse_args(argv, default_config=CONFIG)
     config = load_config(args.config)
 
-    model, _ = load_wav2vec2_model(args)
+    model, _ = load_wav2vec2_model(args, config=config)
 
     data_test = Wav2Vec2FeatureDataset("test", data_root=args.data_root)
     print(f"Loaded {len(data_test)} utterances for testing")

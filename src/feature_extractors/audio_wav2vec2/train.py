@@ -23,7 +23,7 @@ def main(argv=None):
     if args.epochs is not None:
         config = config.override(solver__epochs=args.epochs)
 
-    model, pretrained = load_wav2vec2_model(args)
+    model, pretrained = load_wav2vec2_model(args, config=config)
 
     data_train = Wav2Vec2FeatureDataset("train", data_root=args.data_root)
     data_val = Wav2Vec2FeatureDataset("val", data_root=args.data_root)

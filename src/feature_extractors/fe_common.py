@@ -35,13 +35,35 @@ def parse_args(argv=None, default_config: str | None = None):
                    help="embedding export: int8 serving engine (mer_tpu/serving) "
                         "— 4x less weight HBM traffic than f32")
     p.add_argument("--bf16", action="store_true",
-                   help="mel pipeline: bf16 conv compute (f32 params, f32 "
-                        "embeddings/losses) — 2x MXU rate on the ResNet")
+                   help="force bf16 compute (f32 params/optimizer, f32 softmax/"
+                        "LN stats) for the model forward/backward — 2x MXU rate; "
+                        "without the flag the config's tpu.compute_dtype decides")
+    p.add_argument("--f32", action="store_true",
+                   help="force float32 compute (overrides config tpu.compute_dtype)")
     p.add_argument("--remat", action="store_true",
                    help="text/wav2vec2 fine-tune: rematerialize each encoder "
                         "layer in the backward (activation memory ~1/L at the "
                         "cost of one extra forward)")
     return p.parse_args(argv)
+
+
+def resolve_compute_dtype(args, config=None):
+    """Mixed-precision policy for the FE pipelines: bf16 *compute* with f32
+    params and optimizer state (Flax ``dtype`` vs ``param_dtype``; LayerNorm
+    statistics and the CE log-softmax stay f32 — objectives/classification.py
+    upcasts logits).  ``--bf16``/``--f32`` force; otherwise the config's
+    ``tpu.compute_dtype`` decides (the shipped FE configs default to bfloat16
+    — the reference trains f32 only because torch-on-GPU made that the path
+    of least resistance, text/train.py:221-224; on v5e the MXU runs bf16 at
+    2x the f32 rate)."""
+    import jax.numpy as jnp
+
+    if getattr(args, "f32", False):
+        return jnp.float32
+    if getattr(args, "bf16", False):
+        return jnp.bfloat16
+    name = str(config.get_path("tpu.compute_dtype", "float32")) if config is not None else "float32"
+    return jnp.bfloat16 if name in ("bfloat16", "bf16") else jnp.float32
 
 
 def load_text_model_and_tokenizer(args, variant: str | None = None, config=None):
@@ -59,7 +81,10 @@ def load_text_model_and_tokenizer(args, variant: str | None = None, config=None)
         or "roberta-base"
     )
     cfg = RobertaConfig.large() if "large" in variant else RobertaConfig.base()
-    model = TextERC(cfg, scan_layers=True, remat=bool(getattr(args, "remat", False)))
+    model = TextERC(
+        cfg, dtype=resolve_compute_dtype(args, config),
+        scan_layers=True, remat=bool(getattr(args, "remat", False)),
+    )
 
     tokenizer = (
         ToyWhitespaceTokenizer(vocab_size=cfg.vocab_size)
@@ -71,21 +96,42 @@ def load_text_model_and_tokenizer(args, variant: str | None = None, config=None)
     if not args.random_init:
         import transformers
 
-        hf = transformers.RobertaModel.from_pretrained(args.pretrained or variant, add_pooling_layer=False)
+        try:
+            hf = transformers.RobertaModel.from_pretrained(args.pretrained or variant, add_pooling_layer=False)
+        except Exception as e:  # loud, actionable failure (no silent random init)
+            raise RuntimeError(
+                f"pretrained backbone '{args.pretrained or variant}' is unavailable "
+                "(this machine has no network egress and no HF cache). Stage the "
+                "weights locally and pass --pretrained <path>, or run with "
+                "--random-init for a smoke run — results will NOT match the "
+                "reference's fine-tuned artifacts (text/model.py:16)."
+            ) from e
         pretrained_params = convert_hf_roberta(hf.state_dict(), cfg, scan_layers=True)
     return model, tokenizer, pretrained_params
 
 
-def load_wav2vec2_model(args, variant: str = "facebook/wav2vec2-base"):
+def load_wav2vec2_model(args, variant: str = "facebook/wav2vec2-base", config=None):
     from mer_tpu.models.wav2vec2 import AudioERC, Wav2Vec2Config, convert_hf_wav2vec2
 
     cfg = Wav2Vec2Config.base()
-    model = AudioERC(cfg, scan_layers=True, remat=bool(getattr(args, "remat", False)))
+    model = AudioERC(
+        cfg, dtype=resolve_compute_dtype(args, config),
+        scan_layers=True, remat=bool(getattr(args, "remat", False)),
+    )
     pretrained_params = None
     if not args.random_init:
         import transformers
 
-        hf = transformers.Wav2Vec2Model.from_pretrained(args.pretrained or variant)
+        try:
+            hf = transformers.Wav2Vec2Model.from_pretrained(args.pretrained or variant)
+        except Exception as e:  # loud, actionable failure (no silent random init)
+            raise RuntimeError(
+                f"pretrained backbone '{args.pretrained or variant}' is unavailable "
+                "(this machine has no network egress and no HF cache). Stage the "
+                "weights locally and pass --pretrained <path>, or run with "
+                "--random-init for a smoke run — results will NOT match the "
+                "reference's fine-tuned artifacts (audio_wav2vec2/model.py:9)."
+            ) from e
         pretrained_params = convert_hf_wav2vec2(hf.state_dict(), cfg, scan_layers=True)
     return model, pretrained_params
 
