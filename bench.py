@@ -96,12 +96,13 @@ def bench_int8(batcher, n_utterances: int, repeats: int = 3) -> float:
     return n_utterances / min(times)
 
 
-def bench_scanned(batcher, n_utterances: int, repeats: int = 3) -> tuple[float, float]:
+def bench_scanned(batcher, n_utterances: int, repeats: int = 3) -> tuple[float, float, float]:
     """Offline whole-split inference as scanned XLA programs
     (mer_tpu/serving/offline.py): batches grouped by bucket shape, each
     group ONE lax.scan dispatch over HBM-stacked arrays — the TPU-native
     form of the reference's per-batch DataLoader eval loop (src/test.py:51).
-    Returns (bf16_scanned_utt_per_s, int8_scanned_utt_per_s); same
+    Returns (bf16, int8, w8) scanned utt/s — w8 = int8 weights in HBM
+    dequantized into bf16 GEMMs (no activation-quant math); same
     execution-verified sync protocol as bench_tpu."""
     import jax
     import jax.numpy as jnp
@@ -121,6 +122,7 @@ def bench_scanned(batcher, n_utterances: int, repeats: int = 3) -> tuple[float, 
     )["params"]
     bf16_params = jax.tree.map(lambda x: x.astype(jnp.bfloat16), params)
     qparams = jax.device_put(quantize_m2fnet(params))
+    wparams = jax.device_put(quantize_m2fnet(params, weight_only=True))
     server = M2FNetInt8(model)
 
     def predict_bf16(p, b):
@@ -132,7 +134,8 @@ def bench_scanned(batcher, n_utterances: int, repeats: int = 3) -> tuple[float, 
         return jnp.argmax(server.apply(p, b["text"], b["audio"], b["padding_mask"]), -1)
 
     results = []
-    for predict, p in [(predict_bf16, bf16_params), (predict_int8, qparams)]:
+    for predict, p in [(predict_bf16, bf16_params), (predict_int8, qparams),
+                       (predict_int8, wparams)]:
         sp = ScanPredictor(predict)
         staged = [stacked for _, _, stacked in sp.stage(host_batches)]
         last = None
@@ -312,19 +315,29 @@ def main():
     baseline = get_baseline(batcher, n_utterances)
     device_resident, streaming = bench_tpu(batcher, n_utterances)
     int8 = bench_int8(batcher, n_utterances)
-    scanned_bf16, scanned_int8 = bench_scanned(batcher, n_utterances)
-    best = max(device_resident, int8, scanned_bf16, scanned_int8)
+    scanned_bf16, scanned_int8, scanned_w8 = bench_scanned(batcher, n_utterances)
+    modes = {
+        "bf16": device_resident,
+        "int8": int8,
+        "scanned_bf16": scanned_bf16,
+        "scanned_int8": scanned_int8,
+        "scanned_w8": scanned_w8,
+    }
+    best_mode = max(modes, key=modes.get)
+    best = modes[best_mode]
     print(
         json.dumps(
             {
-                "metric": "MELD-test-shaped M2FNet fusion inference throughput (utterances/sec/chip, device-resident inputs)",
+                "metric": "MELD-test-shaped M2FNet fusion inference throughput (utterances/sec/chip, device-resident inputs, best of 5 serving modes)",
                 "value": round(best, 1),
+                "best_mode": best_mode,
                 "unit": "utterances/sec",
                 "vs_baseline": round(best / baseline, 2),
                 "bf16_value": round(device_resident, 1),
                 "int8_value": round(int8, 1),
                 "scanned_bf16_value": round(scanned_bf16, 1),
                 "scanned_int8_value": round(scanned_int8, 1),
+                "scanned_w8_value": round(scanned_w8, 1),
                 "streaming_value": round(streaming, 1),
                 "baseline_torch_cpu": round(baseline, 1),
             }

@@ -29,15 +29,16 @@ import jax.numpy as jnp
 from mer_tpu.serving.quant import _attention, _dense, _layer_norm, quantize_tree, scan_stacked
 
 
-def quantize_roberta(params: Any) -> Any:
+def quantize_roberta(params: Any, weight_only: bool = False) -> Any:
     """Quantize a TextERC (or bare RobertaModel) param tree."""
-    return quantize_tree(params)
+    return quantize_tree(params, weight_only=weight_only)
 
 
-def quantize_wav2vec2(params: Any) -> Any:
+def quantize_wav2vec2(params: Any, weight_only: bool = False) -> Any:
     """Quantize an AudioERC (or bare Wav2Vec2Model) param tree; the conv
     frontend and positional conv stay float."""
-    return quantize_tree(params, skip_subtrees=("feature_extractor", "pos_conv_embed"))
+    return quantize_tree(params, skip_subtrees=("feature_extractor", "pos_conv_embed"),
+                         weight_only=weight_only)
 
 
 def _gelu(x):

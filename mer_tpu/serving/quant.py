@@ -1,11 +1,18 @@
 """int8 quantized serving path for the M2FNet fusion model.
 
-The fusion serving workload is HBM-bandwidth-bound: at the reference batch
-(32 dialogues, <=33 utterances) activations are tiny and every step re-reads
-the full 86.3M-parameter weight set.  Storing the dense kernels as int8
-(per-output-channel symmetric scales) cuts that traffic 2x vs bf16 / 4x vs
-f32, and the GEMMs run as int8 x int8 -> int32 on the MXU (2x bf16 MACs on
-v5e) via ``lax.dot_general(..., preferred_element_type=int32)``.
+Every fusion forward re-reads the full 86.3M-parameter weight set while the
+activations stay tiny (32 dialogues x <=33 utterances).  Storing the dense
+kernels as int8 (per-output-channel symmetric scales) cuts weight HBM
+traffic 2x vs bf16 / 4x vs f32, and in a8w8 mode the GEMMs run as
+int8 x int8 -> int32 on the MXU (2x bf16 MACs on v5e) via
+``lax.dot_general(..., preferred_element_type=int32)``.
+
+Honest scope (measured, BENCH_LOCAL fusion_roofline): at the reference
+batch the forward is NOT weight-bandwidth-bound — weight reads are a
+minority of the wall time (small per-layer GEMMs leave the MXU latency-
+bound), so int8 shifts the headline only a few percent there.  The traffic
+cut pays where weights dominate: larger models, memory-capacity-constrained
+serving (87 MB vs 345 MB resident), and batch-1 latency paths.
 
 Recipe:
 - weights: post-training symmetric per-output-channel int8
@@ -49,18 +56,35 @@ def quantize_weight(w: jnp.ndarray) -> dict:
 
 
 def int8_dense(x: jnp.ndarray, wq: dict, bias: jnp.ndarray | None,
-               act_scale: jnp.ndarray | None = None) -> jnp.ndarray:
+               act_scale: jnp.ndarray | None = None, weight_only: bool = False) -> jnp.ndarray:
     """y = dequant(quant(x) @ Wq) + b.
 
     x: [..., K] float; wq["q"]: [K, N] int8; wq["scale"]: [1, N].
-    The GEMM is int8 x int8 -> int32 (MXU native); dequantization is a cheap
-    elementwise rescale by (activation_scale * channel_scale).
 
-    Activation quantization: dynamic per-row symmetric by default (abs-max
-    reduction over the live tensor); with ``act_scale`` (a calibrated scalar,
-    see ``calibration``) the reduction is skipped and quantization is
-    deterministic batch-to-batch.
+    Two modes:
+
+    - a8w8 (default): the GEMM is int8 x int8 -> int32 (MXU native, 2x bf16
+      MAC rate on v5e); activations are quantized dynamically per row
+      (abs-max reduction over the live tensor) or statically when
+      ``act_scale`` (a calibrated scalar, see ``calibration``) is baked in.
+    - w8 (``weight_only=True``): weights stay int8 in HBM (the 2x-vs-bf16
+      traffic cut) but are cast to bf16 on the fly and the GEMM runs
+      bf16 x bf16 with f32 accumulation — no activation quantization math
+      at all, and no activation quantization *error*. The right trade at
+      small batch, where the dynamic-quant elementwise work doesn't
+      amortize (BENCH r2: a8w8 beat bf16 by only 1.2% at the reference
+      workload).
     """
+    if weight_only:
+        y = jax.lax.dot_general(
+            x.astype(jnp.bfloat16), wq["q"].astype(jnp.bfloat16),
+            dimension_numbers=(((x.ndim - 1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        y = y * wq["scale"].reshape(1, -1)
+        if bias is not None:
+            y = y + bias
+        return y
     if act_scale is None:
         ax = jnp.max(jnp.abs(x), axis=-1, keepdims=True).astype(jnp.float32)
         a_scale = jnp.maximum(ax / 127.0, 1e-12)
@@ -90,14 +114,20 @@ def _layer_norm(x: jnp.ndarray, p: dict, eps: float = 1e-5) -> jnp.ndarray:
 # ---------------------------------------------------------------------------
 
 
-def quantize_tree(params: Any, skip_subtrees: tuple[str, ...] = ()) -> Any:
+def quantize_tree(params: Any, skip_subtrees: tuple[str, ...] = (),
+                  weight_only: bool = False) -> Any:
     """Recursively replace every Dense ``{"kernel", "bias"}`` node with its
     int8 form; LayerNorm ``{"scale", "bias"}`` nodes and everything else stay
     f32 (they are a negligible fraction of the bytes).
 
     ``skip_subtrees`` names path components whose kernels must stay float —
     conv stacks whose [k, in, out] kernels don't fit the per-output-channel
-    GEMM scheme (e.g. wav2vec2's feature_extractor / pos_conv_embed)."""
+    GEMM scheme (e.g. wav2vec2's feature_extractor / pos_conv_embed).
+
+    ``weight_only=True`` marks every site for w8 serving (int8 weights in
+    HBM, bf16 GEMM — see ``int8_dense``).  The marker is a leafless ``()``
+    entry under the ``"w8"`` key, so it passes through jax.device_put /
+    tree.map / scan-slicing untouched (those only see array leaves)."""
 
     def rec(node, path):
         if isinstance(node, dict):
@@ -105,6 +135,8 @@ def quantize_tree(params: Any, skip_subtrees: tuple[str, ...] = ()) -> Any:
                 out = {"kernel_q": quantize_weight(node["kernel"])}
                 if "bias" in node:
                     out["bias"] = jnp.asarray(node["bias"], jnp.float32)
+                if weight_only:
+                    out["w8"] = ()
                 return out
             return {k: rec(v, path + (k,)) for k, v in node.items()}
         return jnp.asarray(node, jnp.float32)
@@ -112,10 +144,10 @@ def quantize_tree(params: Any, skip_subtrees: tuple[str, ...] = ()) -> Any:
     return rec(params, ())
 
 
-def quantize_m2fnet(params: Any) -> Any:
+def quantize_m2fnet(params: Any, weight_only: bool = False) -> Any:
     """Quantize a trained M2FNet param tree (from Solver / torch_import) for
     the int8 serving engine. One-time host/device transform."""
-    return quantize_tree(params)
+    return quantize_tree(params, weight_only=weight_only)
 
 
 def quantized_bytes(qparams: Any) -> int:
@@ -131,7 +163,8 @@ def _dense(x, node):
         amax = float(jnp.max(jnp.abs(x)))
         key = node.get("_site", id(node))
         _CALIBRATION_SINK[key] = max(_CALIBRATION_SINK.get(key, 0.0), amax)
-    return int8_dense(x, node["kernel_q"], node.get("bias"), node.get("act_scale"))
+    return int8_dense(x, node["kernel_q"], node.get("bias"), node.get("act_scale"),
+                      weight_only="w8" in node)
 
 
 def _slice_stacked(node, i: int):
@@ -174,6 +207,22 @@ def scan_stacked(layer_fn, carry, stacked):
 _CALIBRATION_SINK: dict | None = None
 
 
+def _dense_site_paths(qparams: Any) -> dict[int, tuple]:
+    """Map id(dense node) -> tree path for every quantized GEMM site."""
+    out: dict[int, tuple] = {}
+
+    def rec(node, path):
+        if isinstance(node, dict):
+            if "kernel_q" in node:
+                out[id(node)] = path
+                return
+            for k, v in node.items():
+                rec(v, path + (k,))
+
+    rec(qparams, ())
+    return out
+
+
 class calibration:
     """Context manager for post-training static activation calibration.
 
@@ -184,15 +233,22 @@ class calibration:
     skips the per-row abs-max reduction and quantization is deterministic::
 
         qp = quantize_m2fnet(params)
-        with calibration() as sink:
+        with calibration(qp) as sink:
             for b in calib_batches:          # EAGER — do not jit this pass
                 server.apply(qp, b["text"], b["audio"], b["padding_mask"])
         qp = apply_calibration(qp, sink)     # static scales baked in
         predict = jax.jit(server.apply)      # jit as usual
+
+    Passing the qparams tree re-keys the sink by *tree path* on exit, so
+    ``apply_calibration`` matches sites structurally — robust to subtrees
+    being rebuilt (jax.tree.map / device_put) between calibrate and apply.
+    Without the tree, sites are keyed by node identity and the exact same
+    tree object must be passed to ``apply_calibration``.
     """
 
-    def __init__(self):
-        self.sink: dict[int, float] = {}
+    def __init__(self, tree: Any = None):
+        self.sink: dict = {}
+        self._id_to_path = None if tree is None else _dense_site_paths(tree)
 
     def __enter__(self):
         global _CALIBRATION_SINK
@@ -203,56 +259,94 @@ class calibration:
     def __exit__(self, *exc):
         global _CALIBRATION_SINK
         _CALIBRATION_SINK = None
+        if self._id_to_path is not None:
+            # re-key by tree path (in place: callers hold the sink dict)
+            items = list(self.sink.items())
+            self.sink.clear()
+            for key, amax in items:
+                if isinstance(key, tuple):  # scan-stacked site: (id, layer)
+                    node_id, layer = key
+                    path = self._id_to_path.get(node_id)
+                    self.sink[key if path is None else (path, layer)] = amax
+                else:
+                    path = self._id_to_path.get(key)
+                    self.sink[key if path is None else path] = amax
         return False
 
 
-def apply_calibration(qparams: Any, sink: dict, headroom: float = 1.0) -> Any:
+def _sink_site(key):
+    """The per-node site of a sink key: strip the layer index off a
+    scan-stacked key ((id|path, layer)); plain keys (id or path tuple of
+    str path components) pass through."""
+    if isinstance(key, tuple) and len(key) == 2 and isinstance(key[1], int) \
+            and isinstance(key[0], (int, tuple)):
+        return key[0]
+    return key
+
+
+def apply_calibration(qparams: Any, sink: dict, headroom: float = 1.0,
+                      allow_partial: bool = False) -> Any:
     """Bake observed activation abs-max values into the qparams tree as
     static per-tensor ``act_scale`` entries (scale = headroom * amax / 127).
-    Scan-stacked dense nodes (sites keyed (node id, layer)) get an [L] array
-    that the production lax.scan slices per layer.  Sites never exercised
-    during calibration keep dynamic quantization.
+    Scan-stacked dense nodes (sites keyed (site, layer)) get an [L] array
+    that the production lax.scan slices per layer.
 
-    Must be called on the SAME tree object the calibration pass ran over —
-    sites are identified by node identity, so rebuilding the tree (e.g.
-    ``jax.device_put``) between calibrate and apply would match nothing;
-    that case raises instead of silently leaving every site dynamic."""
+    Sites are matched by tree path when the calibration context was given
+    the tree (``calibration(qp)`` — robust to rebuilt subtrees), else by
+    node identity (requires the SAME tree object the calibration pass ran
+    over; ``jax.device_put`` the tree AFTER applying, not before).  If any
+    observed site fails to match — e.g. a subtree rebuilt between an
+    identity-keyed calibrate and apply — this raises rather than silently
+    serving those sites with dynamic quantization; pass
+    ``allow_partial=True`` to accept a partial bake (e.g. when calibrating
+    several engines into one sink)."""
 
-    matched = 0
+    matched_sites: set = set()
 
     def scale_of(amax: float):
         return max(headroom * amax / 127.0, 1e-12)
 
-    def rec(node):
-        nonlocal matched
+    def lookup(node, path, layer=None):
+        for site in (path, id(node)):
+            key = site if layer is None else (site, layer)
+            if key in sink:
+                return site, sink[key]
+        return None, None
+
+    def rec(node, path):
         if isinstance(node, dict):
             if "kernel_q" in node:
                 if node["kernel_q"]["q"].ndim == 3:  # scan-stacked [L, K, N]
                     n_layers = node["kernel_q"]["q"].shape[0]
-                    per_layer = [sink.get((id(node), i)) for i in range(n_layers)]
+                    hits = [lookup(node, path, layer=i) for i in range(n_layers)]
+                    per_layer = [a for _, a in hits]
+                    matched_sites.update(s for s, _ in hits if s is not None)
                     if any(a is None or a <= 0.0 for a in per_layer):
                         return node
                     out = dict(node)
                     out["act_scale"] = jnp.asarray([scale_of(a) for a in per_layer], jnp.float32)
-                    matched += 1
                     return out
-                amax = sink.get(id(node))
+                site, amax = lookup(node, path)
+                if site is not None:
+                    matched_sites.add(site)
                 if amax is None or amax <= 0.0:
                     return node
                 out = dict(node)
                 out["act_scale"] = jnp.float32(scale_of(amax))
-                matched += 1
                 return out
-            return {k: rec(v) for k, v in node.items()}
+            return {k: rec(v, path + (k,)) for k, v in node.items()}
         return node
 
-    out = rec(qparams)
-    if sink and matched == 0:
+    out = rec(qparams, ())
+    observed_sites = {_sink_site(k) for k in sink}
+    unmatched = observed_sites - matched_sites
+    if unmatched and not allow_partial:
         raise ValueError(
-            f"calibration sink has {len(sink)} observed sites but none matched this "
-            "tree — apply_calibration must receive the same tree object the "
-            "calibration pass ran over (device_put/rebuilds change node identity; "
-            "device_put AFTER applying instead)"
+            f"{len(unmatched)}/{len(observed_sites)} calibrated sites did not match "
+            f"this tree (e.g. {sorted(map(str, unmatched))[:3]}) — identity-keyed "
+            "sites break when the tree is rebuilt between calibrate and apply "
+            "(pass the tree to calibration(qp) for path-keyed matching, or "
+            "device_put AFTER applying); allow_partial=True accepts a partial bake"
         )
     return out
 

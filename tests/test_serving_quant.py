@@ -118,6 +118,52 @@ class TestM2FNetInt8:
             M2FNetInt8(model)
 
 
+class TestWeightOnlyW8:
+    """w8 serving mode: int8 weights in HBM (the 2x-vs-bf16 traffic cut)
+    dequantized into bf16 GEMMs — no activation quantization math or error
+    (quant.py::int8_dense weight_only)."""
+
+    @pytest.mark.parametrize("scan_layers", [False, True])
+    def test_w8_forward_tighter_than_a8w8(self, scan_layers):
+        model = _small_m2fnet(scan_layers)
+        text, audio, mask = _dialogue_batch()
+        params = model.init(jax.random.PRNGKey(0), text, audio, mask)["params"]
+        want = np.asarray(model.apply({"params": params}, text, audio, mask, deterministic=True))
+        server = M2FNetInt8(model)
+
+        qp = quantize_m2fnet(params)
+        wp = quantize_m2fnet(params, weight_only=True)
+        got_a8 = np.asarray(jax.jit(server.apply)(jax.device_put(qp), text, audio, mask))
+        got_w8 = np.asarray(jax.jit(server.apply)(jax.device_put(wp), text, audio, mask))
+
+        w = want[:, :7]
+        err_a8 = np.abs(got_a8[:, :7] - w).max()
+        err_w8 = np.abs(got_w8[:, :7] - w).max()
+        assert err_w8 < 0.15 * np.abs(w).max()
+        # removing activation quantization must not make the error worse
+        assert err_w8 <= err_a8 * 1.05
+
+    def test_w8_weight_bytes_match_a8w8(self):
+        """w8 stores the same int8 kernels — the HBM footprint claim."""
+        model = _small_m2fnet()
+        text, audio, mask = _dialogue_batch()
+        params = model.init(jax.random.PRNGKey(0), text, audio, mask)["params"]
+        from mer_tpu.serving import quantized_bytes
+
+        assert quantized_bytes(quantize_m2fnet(params, weight_only=True)) == \
+            quantized_bytes(quantize_m2fnet(params))
+
+    def test_w8_marker_survives_device_put_and_rebuild(self):
+        model = _small_m2fnet(scan_layers=True)
+        text, audio, mask = _dialogue_batch()
+        params = model.init(jax.random.PRNGKey(0), text, audio, mask)["params"]
+        wp = jax.tree.map(lambda x: jnp.asarray(x), jax.device_put(quantize_m2fnet(params, weight_only=True)))
+        node = wp["audio_encoders_0"]["layers_scan"]["layer"]["linear1"]
+        assert node["w8"] == ()
+        out = M2FNetInt8(model).apply(wp, text, audio, mask)
+        assert np.isfinite(np.asarray(out)).all()
+
+
 class TestStaticCalibration:
     """Post-training static activation scales (quant.py::calibration) — the
     QAT-lite path: per-tensor scales from a calibration set replace the
@@ -170,6 +216,50 @@ class TestStaticCalibration:
         stacked = qp_static["audio_encoders_0"]["layers_scan"]["layer"]["linear1"]
         assert stacked["act_scale"].shape == (2,)  # n_layers_audio = 2
         assert stacked["kernel_q"]["q"].ndim == 3
+
+    def test_path_keyed_calibration_survives_tree_rebuild(self):
+        """calibration(qp) keys sites by tree path, so the scales still bake
+        into a REBUILT copy of the tree (device_put / jax.tree.map change
+        node identity — the failure mode of identity keying)."""
+        from mer_tpu.serving import apply_calibration, calibration
+
+        model = _small_m2fnet(scan_layers=True)
+        text, audio, mask = _dialogue_batch()
+        params = model.init(jax.random.PRNGKey(0), text, audio, mask)["params"]
+        server = M2FNetInt8(model)
+        qp = quantize_m2fnet(params)
+        with calibration(qp) as sink:
+            server.apply(qp, text, audio, mask)
+        assert all(not isinstance(k, int) for k in sink)  # re-keyed by path
+
+        rebuilt = jax.tree.map(lambda x: jnp.asarray(np.asarray(x)), qp)
+        qp_static = apply_calibration(rebuilt, sink)
+
+        def count(node, pred):
+            if isinstance(node, dict):
+                return pred(node) + sum(count(v, pred) for v in node.values())
+            return 0
+
+        assert count(qp_static, lambda n: "act_scale" in n) == count(qp_static, lambda n: "kernel_q" in n)
+
+    def test_partial_match_raises(self):
+        """Identity-keyed sink applied to a rebuilt tree must raise, not
+        silently leave sites dynamic (ADVICE r2: partially rebuilt trees)."""
+        from mer_tpu.serving import apply_calibration, calibration
+
+        model = _small_m2fnet()
+        text, audio, mask = _dialogue_batch()
+        params = model.init(jax.random.PRNGKey(0), text, audio, mask)["params"]
+        server = M2FNetInt8(model)
+        qp = quantize_m2fnet(params)
+        with calibration() as sink:  # identity-keyed (no tree passed)
+            server.apply(qp, text, audio, mask)
+        rebuilt = jax.tree.map(lambda x: jnp.asarray(np.asarray(x)), qp)
+        with pytest.raises(ValueError, match="did not match"):
+            apply_calibration(rebuilt, sink)
+        # explicit opt-in accepts the partial (here: empty) bake
+        out = apply_calibration(rebuilt, sink, allow_partial=True)
+        assert np.isfinite(np.asarray(server.apply(out, text, audio, mask))).all()
 
     def test_uncalibrated_sites_stay_dynamic(self):
         from mer_tpu.serving import apply_calibration
