@@ -6,7 +6,9 @@ three separate export runs writing pickles to disk between stages
 (SURVEY.md §3.5).  Here the whole thing is one pipelined program:
 
   host:   wav decode (data/audio_io) + tokenization        } prefetch thread
-  device: wav2vec2 utterance embeddings   (jit, bucketed)  }
+  device: audio utterance embeddings (jit, bucketed) — either wav2vec2
+          (768-d) or log-mel -> ResNet18 (300-d; the reference switches
+          between them via the embeddings dir, src/config.yaml:6-8)
   device: RoBERTa [CLS] utterance embeddings (jit, bucketed)
   device: dialogue grouping -> M2FNet fusion logits (jit, bucketed)
 
@@ -32,12 +34,19 @@ from mer_tpu.objectives.metrics import BatchAveragedMetrics
 
 @dataclass
 class E2EModels:
+    """The audio branch accepts either embedder the reference can feed fusion
+    with (src/config.yaml:6-8 switches the embeddings dir): an ``AudioERC``
+    (wav2vec2, 768-d) or an ``AudioMelFeatureExtractor`` (on-device log-mel
+    -> ResNet18 -> 300-d, reference audio_mel/embeddings.py:61-80) — the
+    latter needs its BatchNorm ``batch_stats`` tree too."""
+
     text_model: TextERC
     text_params: dict
-    audio_model: AudioERC
+    audio_model: object  # AudioERC | AudioMelFeatureExtractor
     audio_params: dict
     fusion_model: M2FNet
     fusion_params: dict
+    audio_batch_stats: dict | None = None
 
 
 class StreamingPipeline:
@@ -55,10 +64,31 @@ class StreamingPipeline:
     """
 
     def __init__(self, models: E2EModels, utterance_batch: int = 32, dialogue_batch: int = 32,
-                 buckets=DEFAULT_LENGTH_BUCKETS, engine: str = "bf16"):
+                 buckets=DEFAULT_LENGTH_BUCKETS, engine: str = "bf16", mel_cfg=None):
         if engine not in ("bf16", "int8"):
             raise ValueError(f"engine must be 'bf16' or 'int8', got {engine!r}")
         self.engine = engine
+
+        from mer_tpu.models.resnet import AudioMelFeatureExtractor
+
+        self.audio_kind = (
+            "mel" if isinstance(models.audio_model, AudioMelFeatureExtractor) else "wav2vec2"
+        )
+        if self.audio_kind == "mel":
+            if engine == "int8":
+                # the int8 engines cover the transformer backbones (weight-
+                # bandwidth-bound GEMMs); the mel branch is conv-dominated
+                # and has no int8 conv path
+                raise ValueError("engine='int8' supports the wav2vec2 audio branch only")
+            if models.audio_batch_stats is None:
+                raise ValueError(
+                    "the mel audio branch needs audio_batch_stats (BatchNorm "
+                    "running statistics — model.init(...)['batch_stats'] or a "
+                    "restored checkpoint's stats)"
+                )
+            from mer_tpu.ops.logmel import MelConfig
+
+            self.mel_cfg = mel_cfg if mel_cfg is not None else MelConfig()
 
         # commit params to device once — checkpoint-restored trees arrive as
         # host numpy, and numpy jit arguments re-transfer on EVERY call
@@ -81,9 +111,19 @@ class StreamingPipeline:
                 models.fusion_model, jax.device_put(quantize_m2fnet(models.fusion_params)),
             )
         else:
+            # the mel embedder's "params" jit argument is the full variables
+            # dict (params + f32 BatchNorm batch_stats)
+            audio_vars = (
+                {
+                    "params": _commit(models.audio_model, models.audio_params),
+                    "batch_stats": jax.device_put(models.audio_batch_stats),
+                }
+                if self.audio_kind == "mel"
+                else _commit(models.audio_model, models.audio_params)
+            )
             self.m = E2EModels(
                 models.text_model, _commit(models.text_model, models.text_params),
-                models.audio_model, _commit(models.audio_model, models.audio_params),
+                models.audio_model, audio_vars,
                 models.fusion_model, _commit(models.fusion_model, models.fusion_params),
             )
         self.utterance_batch = utterance_batch
@@ -111,11 +151,34 @@ class StreamingPipeline:
             def text_embed(params, ids, mask):
                 return self.m.text_model.apply({"params": params}, ids, mask, method=TextERC.embed)
 
-            # audio travels host->device as int16 (PCM's native width): half
-            # the transfer bytes; normalization to float happens on device.
-            def audio_embed(params, audio_i16, lengths):
-                audio = audio_i16.astype(jnp.float32) / 32768.0
-                return self.m.audio_model.apply({"params": params}, audio, lengths, method=AudioERC.embed)
+            if self.audio_kind == "mel":
+                from mer_tpu.ops.logmel import log_mel_spectrogram
+
+                mcfg = self.mel_cfg
+
+                # wav -> log-mel -> ResNet18+projector, entirely on device:
+                # the streaming analog of the reference's offline
+                # embeddings/audio_mel chain (audio_mel/dataset.py:93-180 +
+                # embeddings.py:61-80). int16 wire format is exact here too —
+                # the mel frontend peak-normalizes per clip (dataset.py:94),
+                # cancelling the 1/32768 scale.
+                def audio_embed(variables, audio_i16, lengths):
+                    audio = audio_i16.astype(jnp.float32) / 32768.0
+                    pad = mcfg.max_samples - audio.shape[1]
+                    if pad > 0:
+                        audio = jnp.pad(audio, ((0, 0), (0, pad)))
+                    spec = log_mel_spectrogram(
+                        audio[:, : mcfg.max_samples],
+                        jnp.minimum(lengths, mcfg.max_samples),
+                        mcfg, channels_first=False,
+                    )
+                    return self.m.audio_model.apply(variables, spec)
+            else:
+                # audio travels host->device as int16 (PCM's native width):
+                # half the transfer bytes; normalization happens on device.
+                def audio_embed(params, audio_i16, lengths):
+                    audio = audio_i16.astype(jnp.float32) / 32768.0
+                    return self.m.audio_model.apply({"params": params}, audio, lengths, method=AudioERC.embed)
 
             def fusion_logits(params, text, audio, mask):
                 return self.m.fusion_model.apply({"params": params}, text, audio, mask)
@@ -163,9 +226,13 @@ class StreamingPipeline:
         Transfers are double-buffered (DevicePrefetcher) and results are
         fetched only after every batch is dispatched, so host->device copies
         overlap device compute.  With ``stage_times`` supplied, records a
-        per-phase wall-clock breakdown: host batch production (wav decode +
-        tokenize, runs in the prefetch thread so it overlaps), dispatch
-        (includes any H2D-transfer stalls), and result fetch (D2H)."""
+        wall-clock breakdown: ``embed_host_prep_s`` (host batch production —
+        wav decode + tokenize — accumulated inside the prefetch thread),
+        ``embed_dispatch_s`` (the dispatch loop, incl. H2D stalls) and
+        ``embed_fetch_s`` (D2H).  NOTE host_prep runs concurrently with
+        dispatch over the same wall-clock interval — it measures *overlap*
+        hidden behind the dispatch leg, not an additive phase; summing it
+        with dispatch can exceed ``stage1_embed_s``."""
         from mer_tpu.data.prefetch import prefetch
 
         device_keys = ("text", "attention_mask", "audio", "lengths")

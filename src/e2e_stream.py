@@ -50,9 +50,22 @@ def main(argv=None):
     p.add_argument("--utterance-batch", type=int, default=32)
     p.add_argument("--int8", action="store_true",
                    help="serve all three models through the int8 engines (mer_tpu/serving)")
+    p.add_argument("--audio", default="wav2vec2", choices=("wav2vec2", "mel"),
+                   help="audio embedder: wav2vec2 (768-d) or on-device log-mel -> "
+                        "ResNet18 (300-d) — the reference's embeddings-dir switch "
+                        "(src/config.yaml:6-8), streamed")
     args = p.parse_args(argv)
 
     fusion_cfg = load_config(os.path.join(REPO_ROOT, "src", "config.yaml"))
+    if args.audio == "mel":
+        # fusion consumes 300-d audio embeddings in this configuration
+        # (AUDIO.embedding_size knob, reference src/config.yaml:33-38);
+        # n_head must divide 300 — 6 heads of 50 (torch MHA enforces the
+        # same constraint, so any reference run with the audio_mel dir
+        # needed this change too)
+        fusion_cfg = fusion_cfg.override(
+            model__AUDIO__embedding_size=300, model__AUDIO__n_head=6
+        )
 
     if args.toy_tokenizer:
         tokenizer = ToyWhitespaceTokenizer()
@@ -71,24 +84,45 @@ def main(argv=None):
     # faster to compile everywhere.
     dtype = jnp.bfloat16
     text_model = TextERC(RobertaConfig.base(), dtype=dtype, scan_layers=True)
-    audio_model = AudioERC(Wav2Vec2Config.base(), dtype=dtype, scan_layers=True)
     fusion_model = M2FNet.from_config(fusion_cfg.model, dtype=dtype, scan_layers=True)
 
     rng = jax.random.PRNGKey(0)
     ids = jnp.zeros((2, 16), jnp.int32)
     mask = jnp.ones((2, 16), jnp.int32)
     text_params = text_model.init(rng, ids, mask)["params"]
-    audio_params = audio_model.init(rng, jnp.zeros((2, 16000)), jnp.full((2,), 16000))["params"]
+    d_audio = 300 if args.audio == "mel" else 768
+
+    audio_batch_stats = None
+    if args.audio == "mel":
+        from mer_tpu.models.resnet import AudioMelFeatureExtractor
+        from mer_tpu.ops.logmel import MelConfig
+
+        audio_model = AudioMelFeatureExtractor(dtype=dtype)
+        mel_vars = audio_model.init(
+            rng, jnp.zeros((2, MelConfig().max_frames, MelConfig().n_mels, 3))
+        )
+        audio_params, audio_batch_stats = mel_vars["params"], mel_vars["batch_stats"]
+        mel_ckpt = os.path.abspath("checkpoints/audio_mel/checkpoint.ckpt")
+        audio_params = _maybe_load(audio_params, mel_ckpt)
+        if os.path.exists(mel_ckpt):
+            restored = load_checkpoint(mel_ckpt)
+            if restored.get("extra", {}).get("batch_stats"):
+                audio_batch_stats = restore_into(audio_batch_stats, restored["extra"]["batch_stats"])
+    else:
+        audio_model = AudioERC(Wav2Vec2Config.base(), dtype=dtype, scan_layers=True)
+        audio_params = audio_model.init(rng, jnp.zeros((2, 16000)), jnp.full((2,), 16000))["params"]
+        audio_params = _maybe_load(audio_params, os.path.abspath("checkpoints/audio_wav2vec2/checkpoint.ckpt"))
+
     fusion_params = fusion_model.init(
-        rng, jnp.zeros((2, 4, 768)), jnp.zeros((2, 4, 768)), jnp.zeros((2, 4), bool)
+        rng, jnp.zeros((2, 4, 768)), jnp.zeros((2, 4, d_audio)), jnp.zeros((2, 4), bool)
     )["params"]
 
     text_params = _maybe_load(text_params, os.path.abspath("checkpoints/text/checkpoint.ckpt"))
-    audio_params = _maybe_load(audio_params, os.path.abspath("checkpoints/audio_wav2vec2/checkpoint.ckpt"))
     fusion_params = _maybe_load(fusion_params, os.path.abspath(str(fusion_cfg.checkpoint.load_path)))
 
     pipeline = StreamingPipeline(
-        E2EModels(text_model, text_params, audio_model, audio_params, fusion_model, fusion_params),
+        E2EModels(text_model, text_params, audio_model, audio_params, fusion_model, fusion_params,
+                  audio_batch_stats=audio_batch_stats),
         utterance_batch=args.utterance_batch,
         dialogue_batch=int(fusion_cfg.test.data_loader.batch_size),
         engine="int8" if args.int8 else "bf16",

@@ -84,6 +84,119 @@ class TestStreamingPipeline:
         assert 0.0 <= result8["accuracy"] <= 1.0
 
 
+class TestStreamingPipelineMel:
+    def test_mel_branch_matches_offline_exports(self, meld_like_root_with_wavs):
+        """`--audio mel` streaming: on-device log-mel -> ResNet18 -> 300-d
+        audio table into fusion (the reference's embeddings-dir switch,
+        src/config.yaml:6-8 + audio_mel/embeddings.py:61-80, streamed).
+        The streamed audio table must match the offline mel exporter's
+        output on the same split, and the fused metrics must match a fusion
+        pass over those offline tables."""
+        from mer_tpu.core import Config
+        from mer_tpu.data import MelFeatureDataset
+        from mer_tpu.models.resnet import AudioMelFeatureExtractor
+        from mer_tpu.ops.logmel import MelConfig
+
+        root, sizes = meld_like_root_with_wavs
+        tok = ToyWhitespaceTokenizer(vocab_size=1000)
+        text_ds = TextFeatureDataset("val", tok, data_root=root)
+        w2v_ds = Wav2Vec2FeatureDataset("val", data_root=root)
+        df = map_emotions(get_text("val", data_root=root))
+
+        mel_cfg = MelConfig(max_seconds=1.0)
+        rng = jax.random.PRNGKey(0)
+        text_model = TextERC(ROBERTA)
+        audio_model = AudioMelFeatureExtractor()
+        mel_vars = audio_model.init(rng, jnp.zeros((2, mel_cfg.max_frames, mel_cfg.n_mels, 3)))
+        fusion_model = M2FNet(
+            d_model_audio=300, d_model_text=D, d_model_fam=D,
+            n_head_audio=6, n_head_text=4, n_head_fam=4,  # 6 divides 300
+            n_layers_audio=1, n_layers_text=1, n_layers_fam=1,
+            hidden_size_classifier=D,
+        )
+        models = E2EModels(
+            text_model,
+            text_model.init(rng, jnp.zeros((2, 8), jnp.int32), jnp.ones((2, 8), jnp.int32))["params"],
+            audio_model,
+            mel_vars["params"],
+            fusion_model,
+            fusion_model.init(
+                rng, jnp.zeros((2, 4, D)), jnp.zeros((2, 4, 300)), jnp.zeros((2, 4), bool)
+            )["params"],
+            audio_batch_stats=mel_vars["batch_stats"],
+        )
+        pipeline = StreamingPipeline(models, utterance_batch=8, dialogue_batch=4, mel_cfg=mel_cfg)
+
+        # streaming run (device-resident handoff)
+        batches = mixed_utterance_batches(text_ds, w2v_ds, batch_size=8, seconds_buckets=(1.0,))
+        result = pipeline.run(batches, df)
+        assert result["n_utterances"] == sizes["val"]
+        assert 0.0 <= result["accuracy"] <= 1.0
+
+        # streamed tables, dataset-row order
+        batches2 = mixed_utterance_batches(text_ds, w2v_ds, batch_size=8, seconds_buckets=(1.0,))
+        text_tab, audio_tab = pipeline.embed_utterances(batches2)
+
+        # offline exporter path: MelFeatureDataset (same ops/logmel frontend,
+        # float wav ingest) -> same ResNet -> [N, 300] table
+        cfg = Config({
+            "DEBUG": {"enabled": False},
+            "AUDIO": {"ffmpeg_sr": 16000, "wav2vec_sr": 16000, "max_duration": 1.0,
+                      "augmentation_factor": 1},
+        })
+        mel_ds = MelFeatureDataset("val", cfg, data_root=root)
+        spec = mel_ds.spectrogram_batch(np.arange(len(mel_ds)))
+        offline_tab = np.asarray(audio_model.apply(mel_vars, jnp.asarray(spec)))
+        # int16 wire quantization vs float ingest: sub-uint8-bin differences
+        assert np.abs(offline_tab - audio_tab).max() < 2e-2
+
+        # fusion over the offline tables must reproduce the streamed metrics
+        from mer_tpu.core import dialogue_index
+        labels = df["Emotion"].to_numpy()
+        dialogues = [
+            {"text": text_tab[np.asarray(rows)], "audio": offline_tab[np.asarray(rows)],
+             "emotion": labels[np.asarray(rows)].astype(np.int64)}
+            for rows in dialogue_index(df).values()
+        ]
+        y_true, y_pred = pipeline.predict_dialogues(dialogues)
+        from mer_tpu.objectives.metrics import BatchAveragedMetrics
+        m = BatchAveragedMetrics()
+        m.update(y_true, y_pred, mask=np.ones_like(y_true, bool))
+        np.testing.assert_allclose(m.pooled_accuracy, result["accuracy"], atol=1e-6)
+        np.testing.assert_allclose(m.pooled_weighted_f1, result["weighted_f1"], atol=1e-6)
+
+    def test_mel_requires_batch_stats_and_rejects_int8(self):
+        from mer_tpu.models.resnet import AudioMelFeatureExtractor
+
+        rng = jax.random.PRNGKey(0)
+        text_model = TextERC(ROBERTA)
+        audio_model = AudioMelFeatureExtractor()
+        mel_vars = audio_model.init(rng, jnp.zeros((2, 101, 128, 3)))
+        fusion_model = M2FNet(
+            d_model_audio=300, d_model_text=D, d_model_fam=D,
+            n_head_audio=6, n_head_text=4, n_head_fam=4,
+            n_layers_audio=1, n_layers_text=1, n_layers_fam=1,
+            hidden_size_classifier=D,
+        )
+        common = dict(
+            text_model=text_model,
+            text_params=text_model.init(
+                rng, jnp.zeros((2, 8), jnp.int32), jnp.ones((2, 8), jnp.int32))["params"],
+            audio_model=audio_model,
+            audio_params=mel_vars["params"],
+            fusion_model=fusion_model,
+            fusion_params=fusion_model.init(
+                rng, jnp.zeros((2, 4, D)), jnp.zeros((2, 4, 300)), jnp.zeros((2, 4), bool)
+            )["params"],
+        )
+        with pytest.raises(ValueError, match="batch_stats"):
+            StreamingPipeline(E2EModels(**common))
+        with pytest.raises(ValueError, match="int8"):
+            StreamingPipeline(
+                E2EModels(**common, audio_batch_stats=mel_vars["batch_stats"]), engine="int8"
+            )
+
+
 class TestDeviceResidentRaggedBatches:
     def test_ragged_stream_positions_correct(self, meld_like_root_with_wavs):
         """The device-resident handoff must map rows correctly when the
