@@ -33,10 +33,26 @@ def bench_fusion(results: dict) -> None:
     from mer_tpu.train import Solver
     from mer_tpu.core import load_config
 
+    from mer_tpu.utils.profiling import V5E_PEAK_BF16, m2fnet_forward_flops, mfu
+
     batcher, n_utt = _workload()
     device_resident, streaming = bench_tpu(batcher, n_utt)
     results["fusion_inference_device_resident_utt_per_s"] = round(device_resident, 1)
     results["fusion_inference_streaming_utt_per_s"] = round(streaming, 1)
+
+    # MFU: analytic matmul FLOPs of the actual staged batch shapes vs the
+    # v5e bf16 peak (197 TFLOP/s). "Fast" is measured against the hardware
+    # ceiling, not only the torch-CPU baseline.
+    from mer_tpu.models import M2FNet as _M2FNet
+
+    _shape_model = _M2FNet()  # headline dims (d=768, 6+6 enc, 5 FAM)
+    split_flops = sum(
+        m2fnet_forward_flops(_shape_model, b["text"].shape[0], b["text"].shape[1])
+        for b in batcher
+    )
+    tflops, frac = mfu(split_flops, n_utt / device_resident, V5E_PEAK_BF16)
+    results["fusion_inference_tflops"] = round(tflops, 1)
+    results["fusion_inference_mfu_pct"] = round(frac * 100, 1)
 
     from mer_tpu.data import DeviceFusionBatcher
     from mer_tpu.data.synthetic import SyntheticFusionDataset
@@ -72,6 +88,19 @@ def bench_fusion(results: dict) -> None:
         state, loss_train = solver.train_epoch(state, dev_batcher, rng)
         times.append(time.perf_counter() - t0)  # train_epoch returns a float: chained
     results["fusion_train_utt_per_s"] = round(n_utt / min(times), 1)
+
+    # train MFU: fwd + bwd ~= 3x forward matmul FLOPs over the epoch's
+    # bucket shapes (the Adam update adds HBM traffic, not matmul FLOPs —
+    # at this batch size it is the bound, see ROADMAP §train-gap)
+    from mer_tpu.utils.profiling import m2fnet_forward_flops, mfu
+
+    epoch_flops = 3 * sum(
+        m2fnet_forward_flops(model, int(idx.shape[1]), bucket) * idx.shape[0]
+        for bucket, idx in dev_batcher.epoch_index_plan()
+    )
+    tflops, frac = mfu(epoch_flops, min(times))
+    results["fusion_train_tflops"] = round(tflops, 1)
+    results["fusion_train_mfu_pct"] = round(frac * 100, 1)
 
 
 def bench_fusion_int8(results: dict) -> None:
@@ -135,7 +164,7 @@ def bench_fe_export_int8(results: dict) -> None:
 
     rng = np.random.default_rng(0)
 
-    def timed_loop(fn, batches, n_items, label):
+    def timed_loop(fn, batches, n_items, label, flops=None, peak=None):
         last = None
         for b in batches:
             last = fn(*b)
@@ -150,6 +179,12 @@ def bench_fe_export_int8(results: dict) -> None:
             np.asarray(last)
             times.append((time.perf_counter() - t0) / inner)
         results[label] = round(n_items / min(times), 1)
+        if flops is not None:
+            from mer_tpu.utils.profiling import V5E_PEAK_BF16, mfu
+
+            tflops, frac = mfu(flops, min(times), peak or V5E_PEAK_BF16)
+            results[label.replace("_utt_per_s", "_tflops")] = round(tflops, 1)
+            results[label.replace("_utt_per_s", "_mfu_pct")] = round(frac * 100, 1)
 
     # --- RoBERTa-base, batch 32 x 128 tokens (typical context-window width)
     text_model = TextERC(RobertaConfig.base(), dtype=jnp.bfloat16, scan_layers=True)
@@ -160,7 +195,7 @@ def bench_fe_export_int8(results: dict) -> None:
     embed_bf16 = jax.jit(
         lambda p, ids, m: text_model.apply({"params": p}, ids, m, method=TextERC.embed)
     )
-    qp_host = quantize_roberta(params)  # host tree kept for identity-keyed calibration
+    qp_host = quantize_roberta(params)  # host tree: calibration observes eagerly on it
     qp = jax.device_put(qp_host)
     server = RobertaInt8(text_model)
     embed_int8 = jax.jit(server.embed)
@@ -170,14 +205,21 @@ def bench_fe_export_int8(results: dict) -> None:
         for _ in range(8)
     ]
     n = 32 * len(batches)
-    timed_loop(lambda ids, m: embed_bf16(bf16_params, ids, m), batches, n, "roberta_export_bf16_utt_per_s")
-    timed_loop(lambda ids, m: embed_int8(qp, ids, m), batches, n, "roberta_export_int8_utt_per_s")
+    from mer_tpu.utils.profiling import (
+        V5E_PEAK_INT8, roberta_forward_flops, wav2vec2_forward_flops,
+    )
+
+    r_flops = roberta_forward_flops(RobertaConfig.base(), 32, 128) * len(batches)
+    timed_loop(lambda ids, m: embed_bf16(bf16_params, ids, m), batches, n,
+               "roberta_export_bf16_utt_per_s", flops=r_flops)
+    timed_loop(lambda ids, m: embed_int8(qp, ids, m), batches, n,
+               "roberta_export_int8_utt_per_s", flops=r_flops, peak=V5E_PEAK_INT8)
 
     # static activation calibration: per-tensor scales from one batch replace
     # the per-row dynamic abs-max reductions at serving time (quant.py)
     from mer_tpu.serving import apply_calibration, calibration
 
-    with calibration() as sink:
+    with calibration(qp_host) as sink:
         server.embed(qp_host, *batches[0])  # eager observer pass
     qp_static = jax.device_put(apply_calibration(qp_host, sink))
     timed_loop(lambda ids, m: embed_int8(qp_static, ids, m), batches, n,
@@ -202,15 +244,28 @@ def bench_fe_export_int8(results: dict) -> None:
         for _ in range(4)
     ]
     an = 8 * len(abatches)
-    timed_loop(lambda w, l: aembed_bf16(abf16, w, l), abatches, an, "wav2vec2_export_bf16_utt_per_s")
-    timed_loop(lambda w, l: aembed_int8(aqp, w, l), abatches, an, "wav2vec2_export_int8_utt_per_s")
+    w_flops = wav2vec2_forward_flops(Wav2Vec2Config.base(), 8, 64000) * len(abatches)
+    timed_loop(lambda w, l: aembed_bf16(abf16, w, l), abatches, an,
+               "wav2vec2_export_bf16_utt_per_s", flops=w_flops)
+    timed_loop(lambda w, l: aembed_int8(aqp, w, l), abatches, an,
+               "wav2vec2_export_int8_utt_per_s", flops=w_flops, peak=V5E_PEAK_INT8)
 
 
 def bench_fe_train(results: dict) -> None:
-    """Stage-1 fine-tune train-step throughput (fwd+bwd+AdamW) at working
-    shapes: RoBERTa-base batch 8 x 256 tokens, wav2vec2-base batch 2 x 10 s
-    (the reference's batch sizes, text/config.yaml / audio_wav2vec2
-    config.yaml:26). Device-chained timing via the step's loss output."""
+    """Stage-1 fine-tune train-step throughput (fwd+bwd+AdamW).
+
+    Rows per backbone:
+      *_finetune_utt_per_s        — f32 at the reference's batch size
+                                    (text/config.yaml batch 8;
+                                    audio_wav2vec2/config.yaml:26 batch 2 —
+                                    a GPU-memory artifact)
+      *_finetune_bf16_utt_per_s   — bf16 compute / f32 params at the same
+                                    batch (the shipped tpu.compute_dtype
+                                    default)
+      *_finetune_tuned_utt_per_s  — bf16 at the TPU-tuned batch
+                                    (RoBERTa 32x256; wav2vec2 16x10s with
+                                    per-layer remat)
+    Device-chained timing via the step's loss output."""
     import jax
     import jax.numpy as jnp
 
@@ -234,7 +289,7 @@ def bench_fe_train(results: dict) -> None:
     )
     rng = np.random.default_rng(0)
 
-    def timed_steps(solver, batch, n_items, label, iters=20):
+    def timed_steps(solver, batch, n_items, label, iters=20, flops_per_step=None):
         state = solver.init_state(batch, steps_per_epoch=iters)
         dev = jax.tree.map(jnp.asarray, batch)
         key = jax.random.PRNGKey(0)
@@ -246,28 +301,57 @@ def bench_fe_train(results: dict) -> None:
         float(loss)  # chained: syncs the whole run
         dt = (time.perf_counter() - t0) / iters
         results[label] = round(n_items / dt, 1)
+        if flops_per_step is not None:
+            from mer_tpu.utils.profiling import mfu
 
-    text_solver = FESolver(
-        TextERC(RobertaConfig.base(), scan_layers=True), cfg, backbone_key="roberta",
-        batch_to_inputs=lambda b: (b["text"], b["attention_mask"]),
-    )
-    text_batch = {
-        "text": rng.integers(2, 50000, size=(8, 256)).astype(np.int32),
-        "attention_mask": np.ones((8, 256), np.int32),
-        "emotion": rng.integers(0, 7, size=(8,)).astype(np.int32),
-    }
-    timed_steps(text_solver, text_batch, 8, "roberta_finetune_utt_per_s")
+            tflops, frac = mfu(flops_per_step, dt)
+            results[label.replace("_utt_per_s", "_tflops")] = round(tflops, 1)
+            results[label.replace("_utt_per_s", "_mfu_pct")] = round(frac * 100, 1)
 
-    w2v_solver = FESolver(
-        AudioERC(Wav2Vec2Config.base(), scan_layers=True), cfg, backbone_key="wav2vec2",
-        batch_to_inputs=lambda b: (b["audio"], b["lengths"]),
-    )
-    w2v_batch = {
-        "audio": (rng.normal(size=(2, 160000)) * 0.1).astype(np.float32),
-        "lengths": np.full((2,), 160000, np.int32),
-        "emotion": rng.integers(0, 7, size=(2,)).astype(np.int32),
-    }
-    timed_steps(w2v_solver, w2v_batch, 2, "wav2vec2_finetune_utt_per_s")
+    def text_batch(b):
+        return {
+            "text": rng.integers(2, 50000, size=(b, 256)).astype(np.int32),
+            "attention_mask": np.ones((b, 256), np.int32),
+            "emotion": rng.integers(0, 7, size=(b,)).astype(np.int32),
+        }
+
+    def w2v_batch(b):
+        return {
+            "audio": (rng.normal(size=(b, 160000)) * 0.1).astype(np.float32),
+            "lengths": np.full((b,), 160000, np.int32),
+            "emotion": rng.integers(0, 7, size=(b,)).astype(np.int32),
+        }
+
+    text_inputs = lambda b: (b["text"], b["attention_mask"])
+    w2v_inputs = lambda b: (b["audio"], b["lengths"])
+
+    from mer_tpu.utils.profiling import roberta_forward_flops, wav2vec2_forward_flops
+
+    for label, dtype, batch, remat in [
+        ("roberta_finetune_utt_per_s", jnp.float32, 8, False),
+        ("roberta_finetune_bf16_utt_per_s", jnp.bfloat16, 8, False),
+        ("roberta_finetune_tuned_utt_per_s", jnp.bfloat16, 32, False),
+    ]:
+        solver = FESolver(
+            TextERC(RobertaConfig.base(), dtype=dtype, scan_layers=True, remat=remat),
+            cfg, backbone_key="roberta", batch_to_inputs=text_inputs,
+        )
+        timed_steps(solver, text_batch(batch), batch, label,
+                    flops_per_step=3 * roberta_forward_flops(RobertaConfig.base(), batch, 256))
+
+    for label, dtype, batch, remat in [
+        ("wav2vec2_finetune_utt_per_s", jnp.float32, 2, False),
+        ("wav2vec2_finetune_bf16_utt_per_s", jnp.bfloat16, 2, False),
+        ("wav2vec2_finetune_tuned_utt_per_s", jnp.bfloat16, 16, True),
+    ]:
+        solver = FESolver(
+            AudioERC(Wav2Vec2Config.base(), dtype=dtype, scan_layers=True, remat=remat),
+            cfg, backbone_key="wav2vec2", batch_to_inputs=w2v_inputs,
+        )
+        # remat recomputes each layer's forward in the backward: ~4x fwd
+        fwd = wav2vec2_forward_flops(Wav2Vec2Config.base(), batch, 160000)
+        timed_steps(solver, w2v_batch(batch), batch, label, iters=10 if batch > 2 else 20,
+                    flops_per_step=(4 if remat else 3) * fwd)
 
 
 def _device_timed(fn, args, iters: int) -> float:
@@ -414,22 +498,71 @@ def bench_mel_pipeline(results: dict, data_root: str) -> None:
         results[label] = round(dt / max(n_steps, 1) * 1e3, 1)
 
 
+def fusion_roofline(results: dict) -> None:
+    """Settle the int8 thesis with numbers (round-2 VERDICT weak #3): is the
+    fusion forward weight-bandwidth-bound at the reference batch?
+
+    Computes, from the measured headline rows: per-split wall time, the
+    analytic matmul time at bf16 peak, and the weight-read time per serving
+    mode at the v5e HBM rate (819 GB/s). If weight-read time is a small
+    fraction of the wall time, the forward is NOT weight-bandwidth-bound at
+    this batch and int8's traffic cut cannot shift the headline — that is
+    the honest explanation of the ~1% a8w8-vs-bf16 gap."""
+    from bench import _workload
+    from mer_tpu.models import M2FNet
+    from mer_tpu.utils.profiling import V5E_PEAK_BF16, m2fnet_forward_flops
+
+    HBM_GB_S = 819e9  # v5e HBM bandwidth (public spec)
+    batcher, n_utt = _workload()
+    batches = list(batcher)
+    n_batches = len(batches)
+
+    n_params = 86.3e6  # headline M2FNet (d=768, 6+6 enc, 5 FAM)
+    model = M2FNet()
+    split_flops = sum(
+        m2fnet_forward_flops(model, b["text"].shape[0], b["text"].shape[1]) for b in batches
+    )
+
+    utt_s = results.get("fusion_inference_device_resident_utt_per_s")
+    if not utt_s:
+        return
+    wall_ms = n_utt / utt_s * 1e3
+    out = {
+        "split_wall_ms": round(wall_ms, 2),
+        "split_matmul_ms_at_bf16_peak": round(split_flops / V5E_PEAK_BF16 * 1e3, 2),
+        # each of the n_batches forwards re-reads the full weight set
+        "split_weight_read_ms_bf16": round(n_batches * n_params * 2 / HBM_GB_S * 1e3, 2),
+        "split_weight_read_ms_int8": round(n_batches * n_params * 1 / HBM_GB_S * 1e3, 2),
+        "n_batches": n_batches,
+    }
+    out["weight_read_fraction_bf16"] = round(out["split_weight_read_ms_bf16"] / wall_ms, 3)
+    out["weight_bound"] = out["weight_read_fraction_bf16"] > 0.5
+    results["fusion_roofline"] = out
+
+
 def bench_e2e(results: dict, data_root: str) -> None:
+    """Streaming end-to-end throughput, both audio branches: wav2vec2
+    (default) and `--audio mel` (on-device log-mel -> ResNet18, the
+    reference's embeddings-dir switch streamed)."""
     import subprocess
 
-    proc = subprocess.run(
-        [sys.executable, os.path.join(REPO_ROOT, "src", "e2e_stream.py"),
-         "--data-root", data_root, "--toy-tokenizer"],
-        capture_output=True, text=True, timeout=3600,
-    )
-    results["e2e_streaming_utt_per_s"] = None
-    for line in proc.stdout.splitlines():
-        if "e2e streaming:" in line:
-            # "...in Xs (Y utt/s) ..."
-            results["e2e_streaming_utt_per_s"] = float(line.split("(")[1].split(" ")[0])
-        elif "e2e stages:" in line:
-            # per-stage wall-clock breakdown (tunnel-bound vs compute-bound)
-            results["e2e_stages"] = json.loads(line.split("e2e stages:", 1)[1])
+    for extra, key, stages_key in [
+        ((), "e2e_streaming_utt_per_s", "e2e_stages"),
+        (("--audio", "mel"), "e2e_streaming_mel_utt_per_s", "e2e_mel_stages"),
+    ]:
+        proc = subprocess.run(
+            [sys.executable, os.path.join(REPO_ROOT, "src", "e2e_stream.py"),
+             "--data-root", data_root, "--toy-tokenizer", *extra],
+            capture_output=True, text=True, timeout=3600,
+        )
+        results[key] = None
+        for line in proc.stdout.splitlines():
+            if "e2e streaming:" in line:
+                # "...in Xs (Y utt/s) ..."
+                results[key] = float(line.split("(")[1].split(" ")[0])
+            elif "e2e stages:" in line:
+                # per-stage wall-clock breakdown (tunnel vs compute bound)
+                results[stages_key] = json.loads(line.split("e2e stages:", 1)[1])
 
 
 def main():
@@ -447,6 +580,7 @@ def main():
     bench_kernels(results)
     bench_logmel(results)
     bench_fusion(results)
+    fusion_roofline(results)
     bench_fusion_int8(results)
     bench_fe_export_int8(results)
     bench_fe_train(results)
