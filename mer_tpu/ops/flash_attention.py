@@ -47,27 +47,47 @@ def _block_q(sk_p: int) -> int:
     return 128
 
 
-def _kernel(q_ref, k_ref, v_ref, bias_ref, out_ref, lse_ref, *, scale: float):
-    q = q_ref[0]          # [BQ, D]
-    k = k_ref[0]          # [S, D]
-    v = v_ref[0]          # [S, D]
-    bias = bias_ref[0]    # [1, S]
+def _kernel(q_ref, k_ref, v_ref, bias_ref, out_ref, lse_ref, *, scale: float,
+            bh_block: int = 1):
+    """One grid step: full attention for ``bh_block`` (batch*head) slices.
 
-    scores = jax.lax.dot_general(
-        q * scale, k,
-        dimension_numbers=(((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )  # [BQ, S]
-    scores = scores + bias  # broadcast [1, S]
+    bh_block > 1 is the small-S regime (RoBERTa buckets 64-512, wav2vec2
+    499 frames): per-(bh, q-block) grid steps are launch/DMA-bound there —
+    batching several bh into one step amortizes both (the per-bh matmuls
+    below unroll; Mosaic pipelines them back-to-back on the MXU)."""
+    for i in range(bh_block):
+        q = q_ref[i]          # [BQ, D]
+        k = k_ref[i]          # [S, D]
+        v = v_ref[i]          # [S, D]
+        bias = bias_ref[i]    # [1, S]
 
-    m = jnp.max(scores, axis=-1, keepdims=True)
-    p = jnp.exp(scores - m)
-    denom = jnp.sum(p, axis=-1, keepdims=True)
-    # logsumexp per query row — saved for the tiled backward (p = exp(s - L))
-    lse_ref[0] = m + jnp.log(denom)  # [BQ, 1]
-    p = p / denom
+        scores = jax.lax.dot_general(
+            q * scale, k,
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # [BQ, S]
+        scores = scores + bias  # broadcast [1, S]
 
-    out_ref[0] = jnp.dot(p.astype(v.dtype), v, preferred_element_type=jnp.float32).astype(out_ref.dtype)
+        m = jnp.max(scores, axis=-1, keepdims=True)
+        p = jnp.exp(scores - m)
+        denom = jnp.sum(p, axis=-1, keepdims=True)
+        # logsumexp per query row — saved for the tiled backward (p = exp(s - L))
+        lse_ref[i] = m + jnp.log(denom)  # [BQ, 1]
+        p = p / denom
+
+        out_ref[i] = jnp.dot(p.astype(v.dtype), v, preferred_element_type=jnp.float32).astype(out_ref.dtype)
+
+
+def _bh_block(bh: int, sk_p: int, block_q: int, dh_p: int) -> int:
+    """Largest bh-block whose VMEM working set (q/k/v/bias/out blocks +
+    score temporaries) stays within budget and divides bh. 1 = the classic
+    per-bh grid."""
+    budget = 10 * 1024 * 1024
+    per = 4 * (2 * block_q * dh_p + 2 * sk_p * dh_p + sk_p + 2 * block_q * sk_p + block_q)
+    for cand in (16, 8, 4, 2):
+        if bh % cand == 0 and cand * per <= budget:
+            return cand
+    return 1
 
 
 def flash_attention(
@@ -388,19 +408,20 @@ def _flash_impl(q, k, v, key_bias, interpret=False, force_stream: bool | None = 
     if stream:
         out, lse = _flash_stream(qp, kp, vp, bias, sq_p, sk_p, dh_p, scale, q.dtype, interpret)
     else:
-        grid = (b * h, sq_p // block_q)
+        bhb = _bh_block(b * h, sk_p, block_q, dh_p)
+        grid = (b * h // bhb, sq_p // block_q)
         out, lse = pl.pallas_call(
-            functools.partial(_kernel, scale=scale),
+            functools.partial(_kernel, scale=scale, bh_block=bhb),
             grid=grid,
             in_specs=[
-                pl.BlockSpec((1, block_q, dh_p), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, sk_p, dh_p), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, sk_p, dh_p), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, 1, sk_p), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((bhb, block_q, dh_p), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((bhb, sk_p, dh_p), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((bhb, sk_p, dh_p), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((bhb, 1, sk_p), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM),
             ],
             out_specs=[
-                pl.BlockSpec((1, block_q, dh_p), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, block_q, 1), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((bhb, block_q, dh_p), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((bhb, block_q, 1), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM),
             ],
             out_shape=[
                 jax.ShapeDtypeStruct((b * h, sq_p, dh_p), q.dtype),

@@ -65,6 +65,13 @@ def main():
     results = {}
 
     shapes = [
+        # the ACTUAL benched-pipeline shapes (round-2 VERDICT weak #2):
+        # RoBERTa context windows land mostly in the 64/128/256 buckets at
+        # batch 32 (data/text_fe.py:20), wav2vec2 is 499 frames at batch 8
+        ("roberta_b32_s64", 32, 12, 64, 64),
+        ("roberta_b32_s128", 32, 12, 128, 64),
+        ("roberta_b32_s256", 32, 12, 256, 64),
+        ("wav2vec2_b8_s499", 8, 12, 499, 64),
         ("roberta_512", 8, 12, 512, 64),
         ("wav2vec2_512", 8, 12, 512, 64),
         ("long_1024", 8, 12, 1024, 64),
