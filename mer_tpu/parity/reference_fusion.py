@@ -315,11 +315,16 @@ class MerTpuFusion:
             )
         )
 
-    def train_steps(self, batches, lr: float = 5e-5, weight_decay: float = 0.01) -> list[float]:
+    def train_steps(self, batches, lr: float = 5e-5, weight_decay: float = 0.01,
+                    train_mode: bool = True) -> list[float]:
         """The framework's fused train step (forward+backward+torch-Adam-L2
         update in one jitted program) over the same batches. The optimizer,
         its state, and the compiled step persist across calls — calling once
-        per epoch reproduces multi-epoch training."""
+        per epoch reproduces multi-epoch training. ``train_mode=False`` turns
+        dropout off (mirrors TorchReferenceFusion.train_steps) so the two
+        frameworks' trajectories are deterministic and directly comparable
+        (the dropout RNGs are the one thing that cannot be pinned across
+        torch and jax)."""
         import optax
 
         from mer_tpu.objectives.classification import cross_entropy
@@ -333,7 +338,7 @@ class MerTpuFusion:
                 def compute_loss(p):
                     logits = self.model.apply(
                         {"params": p}, text, audio, mask,
-                        deterministic=False, rngs={"dropout": rng},
+                        deterministic=not train_mode, rngs={"dropout": rng},
                     )
                     return cross_entropy(logits, emotion, label_smoothing=0.1, ignore_index=-1)
 
@@ -345,6 +350,9 @@ class MerTpuFusion:
             self._opt_state = optimizer.init(self.params)
             self._step = jax.jit(step)
             self._steps_done = 0
+            self._train_mode = train_mode
+        elif self._train_mode != train_mode:
+            raise ValueError("train_mode is baked into the compiled step at the first call")
 
         rng = jax.random.PRNGKey(0)
         losses = []
