@@ -148,9 +148,13 @@ def ring_attention(
         key_padding_mask: optional [B, S] bool, True = ignore key (torch
             convention, reference src/model.py:14).
         use_kernel: run each local block through the Pallas streaming kernel
-            instead of jnp block math. Default (None): kernel on TPU, jnp
-            elsewhere. ``interpret=True`` lets the kernel path run on CPU
-            meshes (tests).
+            instead of jnp block math. Default (None): the jnp block body —
+            the kernel ring is exactness-tested only in interpret mode on
+            CPU meshes (this machine has a single TPU chip, so the compiled
+            multi-chip kernel path has never executed); opt in explicitly or
+            via MER_TPU_RING_KERNEL=1 once validated on a real pod
+            (ROADMAP §multi-host bring-up). ``interpret=True`` lets the
+            kernel path run on CPU meshes (tests).
 
     Returns:
         [B, H, S, Dh], sharded like q.
@@ -165,7 +169,9 @@ def ring_attention(
         bias = jnp.where(key_padding_mask, _NEG_INF, 0.0).astype(jnp.float32)
 
     if use_kernel is None:
-        use_kernel = jax.default_backend() == "tpu"
+        import os
+
+        use_kernel = os.environ.get("MER_TPU_RING_KERNEL") == "1"
     seq = P(None, None, axis_name, None)
     if use_kernel:
         body = functools.partial(_ring_body_kernel, axis_name=axis_name, interpret=interpret)

@@ -31,8 +31,11 @@ _PALETTE = [
 
 
 def project_embeddings(embeddings: np.ndarray, kind: str = "2D") -> np.ndarray:
-    """PCA(random_state=0) -> [:, :50] -> t-SNE, the reference's exact recipe
-    (audio_mel/train.py:306-309)."""
+    """PCA(random_state=0) -> [:, :50] -> t-SNE (init="pca", fixed seed),
+    following the reference's projection pipeline (audio_mel/train.py:306-309).
+    Deliberate deviations: perplexity is clamped for small datasets (the
+    reference's fixed default crashes below 31 samples), and the t-SNE seed
+    is pinned so artifact diffs reproduce across runs."""
     from sklearn.decomposition import PCA
     from sklearn.manifold import TSNE
 
@@ -41,7 +44,10 @@ def project_embeddings(embeddings: np.ndarray, kind: str = "2D") -> np.ndarray:
     x = np.asarray(embeddings, dtype=np.float32)
     x = PCA(random_state=0).fit_transform(x)[:, :50]
     n_comp = 3 if kind == "3D" else 2
-    return TSNE(n_components=n_comp, perplexity=min(30.0, max(5.0, len(x) / 10))).fit_transform(x)
+    return TSNE(
+        n_components=n_comp, perplexity=min(30.0, max(5.0, len(x) / 10)),
+        init="pca", random_state=0,
+    ).fit_transform(x)
 
 
 def silhouette(embeddings: np.ndarray, labels: np.ndarray) -> float:
