@@ -65,19 +65,29 @@ def dot_product_attention(
 
 
 def _should_use_pallas(q: jnp.ndarray, dropout_rate: float, deterministic: bool) -> bool:
-    # Measured on v5e (f32, B8 H12 dh64, device-chained scan timing,
-    # scripts/bench_attention.py, round 2 — adaptive q-blocks + fused/tiled
-    # backward kernels):
-    #            XLA fwd | pallas fwd | XLA fwd+bwd | pallas fwd+bwd
-    #   s=512:    1.23   |   1.22     |    1.52     |   1.51    -> tie
-    #   s=1024:   2.92   |   2.01     |    5.30     |   2.99    -> pallas
-    #   s=2048:   8.11   |   3.54     |   18.15     |   7.38    -> pallas
-    #   s=4096:  14.77   |   5.25     |   33.20     |  16.16    -> pallas
-    #   s=8192: 1336(!)  |  31.2      |   719.6     |  51.9     -> pallas
-    #   (B4 at 4096, B2 at 8192; XLA's unfused path materializes the
-    #    [B,H,S,S] probabilities — 6.4 GB at 8192 — hence the collapse.)
-    # Auto-dispatch: pallas from s>=512 with no upper bound;
-    # MER_TPU_FLASH_ATTENTION=1 forces it, =0 forces XLA.
+    # Measured on v5e (f32, dh64, device-chained scan timing,
+    # scripts/bench_attention.py, round 3 — adaptive q-blocks, bh-blocked
+    # small-S grid, fused/tiled backward kernels). PRODUCTION shapes first —
+    # the exact shapes the benched pipelines run (RoBERTa context windows at
+    # batch 32 land in the 64/128/256 buckets, wav2vec2 is 499 frames at
+    # batch 8):
+    #                       XLA fwd | pallas fwd | XLA fwd+bwd | pallas fwd+bwd
+    #   B32 s=64:            1.49   |   1.61     |    1.52     |   2.00   -> XLA
+    #   B32 s=128:           1.56   |   1.72     |    1.53     |   2.05   -> XLA
+    #   B32 s=256:           1.97   |   2.59     |    2.01     |   2.70   -> XLA
+    #   B8  s=499 (w2v):     1.64   |   1.77     |    1.83     |   2.09   -> XLA
+    #   B8  s=512:           1.55   |   1.65     |    1.87     |   2.08   -> XLA
+    #   B8  s=1024:          3.26   |   2.23     |    5.63     |   3.68   -> pallas
+    #   B8  s=2048:          8.41   |   3.81     |   18.53     |   7.89   -> pallas
+    #   B4  s=4096:         14.91   |   5.41     |   33.44     |  12.36   -> pallas
+    #   B2  s=8192:       1335.6(!) |  31.0      |   720.1     |   43.1   -> pallas
+    # Below ~512 keys both paths sit near the launch floor and XLA's batched
+    # GEMM+softmax fusion wins — the encoders' production attention therefore
+    # runs on XLA, and the flash kernels are the LONG-sequence path (the e2e
+    # streaming growth axis + ring attention), where XLA's materialized
+    # [B,H,S,S] probabilities (6.4 GB at 8192) collapse it.
+    # Auto-dispatch: pallas from s>=1024; MER_TPU_FLASH_ATTENTION=1 forces
+    # the kernel (s>=128), =0 forces XLA.
     import os
 
     force = os.environ.get("MER_TPU_FLASH_ATTENTION")
@@ -96,7 +106,7 @@ def _should_use_pallas(q: jnp.ndarray, dropout_rate: float, deterministic: bool)
         return False
     if force == "1":
         return sq >= 128
-    return sq >= 512
+    return sq >= 1024
 
 
 def _attention_reference(
