@@ -118,7 +118,13 @@ def main(argv=None):
     )["params"]
 
     text_params = _maybe_load(text_params, os.path.abspath("checkpoints/text/checkpoint.ckpt"))
-    fusion_params = _maybe_load(fusion_params, os.path.abspath(str(fusion_cfg.checkpoint.load_path)))
+    # the default fusion checkpoint is the 768-d (wav2vec2-audio) config; a
+    # mel-variant fusion (300-d audio) needs its own checkpoint file
+    fusion_ckpt = os.path.abspath(str(fusion_cfg.checkpoint.load_path))
+    if args.audio == "mel":
+        root, ext = os.path.splitext(fusion_ckpt)
+        fusion_ckpt = f"{root}_mel{ext}"
+    fusion_params = _maybe_load(fusion_params, fusion_ckpt)
 
     pipeline = StreamingPipeline(
         E2EModels(text_model, text_params, audio_model, audio_params, fusion_model, fusion_params,
