@@ -382,6 +382,15 @@ class StreamingPipeline:
                 for rows in dialogue_index(df).values()
             ]
             t2 = time.perf_counter()
+            # the host grouping above overlapped the queued embed compute;
+            # now sync so that compute lands in its own named leg instead of
+            # being charged to the first stage-2 fetch (dispatch-side timing
+            # made the mel branch's stage2_fusion_s read 7x its true cost).
+            # Costs one host-link round trip; no device overlap is lost —
+            # stage-2's table gather depends on the complete tables anyway.
+            jax.block_until_ready((table_t, table_a))
+            t_wait = time.perf_counter()
+            stages["stage1_device_wait_s"] = round(t_wait - t2, 3)
             y_true, y_pred = self.predict_dialogues_from_tables(table_t, table_a, dialogues)
         else:
             text_emb, audio_emb = self.embed_utterances(utterance_batches, stage_times=stages)
@@ -395,10 +404,11 @@ class StreamingPipeline:
                      "emotion": labels[rows].astype(np.int64)}
                 )
             t2 = time.perf_counter()
+            t_wait = t2  # fetch=True already synced inside embed_utterances
             y_true, y_pred = self.predict_dialogues(dialogues)
         dt = time.perf_counter() - t0
         stages["group_s"] = round(t2 - t1, 3)
-        stages["stage2_fusion_s"] = round(dt - (t2 - t0), 3)
+        stages["stage2_fusion_s"] = round(dt - (t_wait - t0), 3)
 
         metrics = BatchAveragedMetrics()
         metrics.update(y_true, y_pred, mask=np.ones_like(y_true, bool))
