@@ -241,7 +241,7 @@ def log_mel_spectrogram(
     *,
     quantize_png: bool = True,
     channels_first: bool = True,
-    use_pallas: bool = False,
+    use_pallas: bool | None = None,
 ) -> jnp.ndarray:
     """Batched on-device log-mel pipeline.
 
@@ -252,9 +252,17 @@ def log_mel_spectrogram(
             (part of its observed behavior, audio_mel/dataset.py:102-115).
         channels_first: return [B, 3, max_frames, n_mels] like the reference's
             final tensor (:169,178); else [B, max_frames, n_mels, 3].
+        use_pallas: run the frames->log-mel hot region through the fused
+            Pallas kernel (ops/logmel_pallas.py).  ``None`` (default) picks
+            the kernel on TPU — 1.3-1.6x the XLA schedule of the full op
+            (2.26 vs 3.55 ms at b=32, scripts/bench_logmel_fullop.py) — and
+            the jnp path elsewhere.  The kernel path is forward-only (no
+            VJP); pass False if differentiating through the spectrogram.
 
     Returns float32 in [0, 1].
     """
+    if use_pallas is None:
+        use_pallas = jax.default_backend() == "tpu"
     b = audio.shape[0]
     pad = cfg.n_fft // 2
     audio = audio.astype(jnp.float32)

@@ -13,14 +13,21 @@ Operand matrices are zero-padded to lane multiples (400 -> 512 contraction
 dim, 201 -> 256 frequency lanes): padded columns/rows are zero, so results
 are exact (tested vs the XLA/librosa recipe in tests/test_logmel_pallas.py).
 
-**Measured status (v5e, device-chained scan timing, b=32 x 1001 frames,
-scripts/bench_logmel_kernel.py): XLA's own fusion of the identical math runs
-at 1.11 ms vs 1.24 ms for this kernel** — two GEMMs with elementwise glue is
-exactly what XLA schedules best, so `ops/logmel.py::log_mel_spectrogram`
-defaults to the XLA path (`use_pallas=False`) and this kernel is kept as an
-exactness-tested alternative (documented-parity status; round-2 VERDICT
-item 5). Round 1's end-to-end "win" was host-transfer-bound measurement
-noise, not kernel merit.
+**Measured status (v5e, device-chained scan timing).** In isolation the
+kernel region roughly ties XLA's fusion of the identical math (1.21 vs
+1.44 ms, b=32 x 1001 frames, scripts/bench_logmel_kernel.py) — two GEMMs
+with elementwise glue is XLA's best case. But inside the FULL
+`log_mel_spectrogram` op (after the gather-free reflect-pad/framing
+rewrite), the kernel wins 1.3-1.6x (b=32: 2.26 vs 3.55 ms;
+scripts/bench_logmel_fullop.py): XLA schedules the framing-concat + GEMM
+chain with extra materialized intermediates, while this kernel consumes
+frame blocks straight from VMEM. `log_mel_spectrogram` therefore defaults
+to this kernel on TPU (`use_pallas=None` -> backend dispatch) and to the
+jnp path elsewhere. (History: round 1's apparent win was host-transfer
+noise; round 2 demoted the kernel on kernel-region-only evidence; round 3's
+gather fix exposed the real full-op gap.)  Forward-only: no VJP — the mel
+training path consumes the uint8 spectrogram cache, not gradients through
+the frontend.
 
 The reference's equivalent is host-side librosa (audio_mel/dataset.py:95-98).
 """
