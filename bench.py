@@ -96,24 +96,35 @@ def bench_int8(batcher, n_utterances: int, repeats: int = 3) -> float:
     return n_utterances / min(times)
 
 
-def bench_scanned(batcher, n_utterances: int, repeats: int = 3) -> tuple[float, float, float]:
+def bench_scanned(batcher, n_utterances: int, repeats: int = 3,
+                  serving_batch: int | None = None) -> tuple[float, float, float]:
     """Offline whole-split inference as scanned XLA programs
     (mer_tpu/serving/offline.py): batches grouped by bucket shape, each
     group ONE lax.scan dispatch over HBM-stacked arrays — the TPU-native
     form of the reference's per-batch DataLoader eval loop (src/test.py:51).
     Returns (bf16, int8, w8) scanned utt/s — w8 = int8 weights in HBM
     dequantized into bf16 GEMMs (no activation-quant math); same
-    execution-verified sync protocol as bench_tpu."""
+    execution-verified sync protocol as bench_tpu.
+
+    ``serving_batch``: re-collate the split's batches into serving batches
+    of up to this many dialogues first (recollate_batches — identity
+    re-batching; the reference's batch 32 leaves the MXU starved, see
+    scripts/profile_fusion_serving_batch.py: 108k -> 565k utt/s per-batch
+    forward going 32 -> 512)."""
     import jax
     import jax.numpy as jnp
 
     from mer_tpu.models import M2FNet
-    from mer_tpu.serving import M2FNetInt8, ScanPredictor, quantize_m2fnet
+    from mer_tpu.serving import (
+        M2FNetInt8, ScanPredictor, quantize_m2fnet, recollate_batches,
+    )
 
     model = M2FNet(dtype=jnp.bfloat16, scan_layers=True)
     host_batches = [
         {k: b[k] for k in ("text", "audio", "padding_mask")} for b in batcher
     ]
+    if serving_batch is not None:
+        host_batches, _ = recollate_batches(host_batches, serving_batch)
     example = host_batches[0]
     params = model.init(
         jax.random.PRNGKey(0),
@@ -316,19 +327,26 @@ def main():
     device_resident, streaming = bench_tpu(batcher, n_utterances)
     int8 = bench_int8(batcher, n_utterances)
     scanned_bf16, scanned_int8, scanned_w8 = bench_scanned(batcher, n_utterances)
+    # TPU-tuned serving batch: same split, same per-dialogue predictions,
+    # bigger GEMMs (recollate_batches — the reference's batch 32 is a GPU
+    # artifact that starves the MXU)
+    big_bf16, big_int8, big_w8 = bench_scanned(batcher, n_utterances, serving_batch=512)
     modes = {
         "bf16": device_resident,
         "int8": int8,
         "scanned_bf16": scanned_bf16,
         "scanned_int8": scanned_int8,
         "scanned_w8": scanned_w8,
+        "bigbatch_bf16": big_bf16,
+        "bigbatch_int8": big_int8,
+        "bigbatch_w8": big_w8,
     }
     best_mode = max(modes, key=modes.get)
     best = modes[best_mode]
     print(
         json.dumps(
             {
-                "metric": "MELD-test-shaped M2FNet fusion inference throughput (utterances/sec/chip, device-resident inputs, best of 5 serving modes)",
+                "metric": "MELD-test-shaped M2FNet fusion inference throughput (utterances/sec/chip, device-resident inputs, best of 8 serving modes)",
                 "value": round(best, 1),
                 "best_mode": best_mode,
                 "unit": "utterances/sec",
@@ -338,6 +356,9 @@ def main():
                 "scanned_bf16_value": round(scanned_bf16, 1),
                 "scanned_int8_value": round(scanned_int8, 1),
                 "scanned_w8_value": round(scanned_w8, 1),
+                "bigbatch_bf16_value": round(big_bf16, 1),
+                "bigbatch_int8_value": round(big_int8, 1),
+                "bigbatch_w8_value": round(big_w8, 1),
                 "streaming_value": round(streaming, 1),
                 "baseline_torch_cpu": round(baseline, 1),
             }

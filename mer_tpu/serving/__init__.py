@@ -4,7 +4,7 @@ from mer_tpu.serving.encoders import (
     quantize_roberta,
     quantize_wav2vec2,
 )
-from mer_tpu.serving.offline import ScanPredictor
+from mer_tpu.serving.offline import ScanPredictor, recollate_batches, split_recollated
 from mer_tpu.serving.quant import (
     M2FNetInt8,
     apply_calibration,
@@ -28,6 +28,8 @@ __all__ = [
     "quantize_roberta",
     "quantize_tree",
     "quantize_wav2vec2",
+    "recollate_batches",
+    "split_recollated",
     "quantize_weight",
     "quantized_bytes",
 ]

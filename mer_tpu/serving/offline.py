@@ -20,6 +20,59 @@ import jax.numpy as jnp
 import numpy as np
 
 
+def recollate_batches(
+    batches: list[dict], serving_batch: int = 512
+) -> tuple[list[dict], list[tuple[int, list[tuple[int, int]]]]]:
+    """Merge same-shape batches into larger serving batches (identity
+    re-batching: per-dialogue predictions are unchanged — the batch axis is
+    independent — only the GEMM sizes grow).
+
+    The reference evaluates at its training batch size (src/config.yaml:70
+    batch_size 32; src/test.py:51 loop) — a GPU-memory artifact that leaves
+    v5e's MXU starved: the same fusion forward runs at 108k utt/s per
+    [32, U] batch vs 565k at [512, U] (scripts/profile_fusion_serving_batch
+    .py). Merging along the batch axis (same bucket width U -> same trailing
+    shape) recovers that without touching model or workload semantics.
+
+    Returns (merged_batches, plan) where plan[j] = (orig_index, [(merged_j,
+    row_start, row_end)...]) inverse mapping — as a flat list of
+    (merged_index, (start, end)) per original batch, in input order — so
+    callers can scatter merged predictions back to per-batch outputs.
+    """
+    groups: dict[tuple, list[int]] = {}
+    for i, b in enumerate(batches):
+        key = tuple(
+            sorted((k, tuple(np.shape(v)[1:]), str(np.asarray(v).dtype)) for k, v in b.items())
+        )
+        groups.setdefault(key, []).append(i)
+
+    merged: list[dict] = []
+    plan: list[tuple[int, tuple[int, int]] | None] = [None] * len(batches)
+    for idxs in groups.values():
+        per_merge = max(serving_batch // int(np.shape(batches[idxs[0]]["text"])[0]), 1)
+        for start in range(0, len(idxs), per_merge):
+            chunk = idxs[start : start + per_merge]
+            j = len(merged)
+            merged.append(
+                {
+                    k: np.concatenate([np.asarray(batches[i][k]) for i in chunk])
+                    for k in batches[chunk[0]].keys()
+                }
+            )
+            off = 0
+            for i in chunk:
+                n = int(np.shape(batches[i]["text"])[0])
+                plan[i] = (j, (off, off + n))
+                off += n
+    return merged, plan  # type: ignore[return-value]
+
+
+def split_recollated(preds: list[np.ndarray], plan) -> list[np.ndarray]:
+    """Inverse of :func:`recollate_batches` for per-merged-batch prediction
+    arrays: returns per-original-batch predictions in input order."""
+    return [preds[j][s:e] for j, (s, e) in plan]
+
+
 class ScanPredictor:
     """Compile-once scanned batch inference over fixed-shape batch groups.
 

@@ -13,43 +13,71 @@ from mer_tpu.train import load_checkpoint
 from mer_tpu.train.checkpoint import restore_into
 
 
-def _test_int8_scanned(solver, batcher, params) -> dict:
-    """Production serving path: int8 engine + scanned whole-split inference
-    (one XLA dispatch per bucket group). Same batch-averaged metric
-    semantics as Solver.test (reference src/test.py:46-47)."""
+def _test_scanned(solver, batcher, params, int8: bool, serving_batch: int | None) -> dict:
+    """Production serving path: scanned whole-split inference (one XLA
+    dispatch per bucket group), bf16 or the int8 engine. Same batch-averaged
+    metric semantics as Solver.test (reference src/test.py:46-47).
+
+    ``serving_batch``: re-collate the split into serving batches of up to
+    this many dialogues (serving/offline.py::recollate_batches) — identity
+    re-batching; metrics are computed per ORIGINAL batch so batch-averaged
+    numbers match the reference loop exactly."""
     import numpy as np
 
     import jax
     import jax.numpy as jnp
 
     from mer_tpu.objectives.metrics import BatchAveragedMetrics
-    from mer_tpu.serving import M2FNetInt8, ScanPredictor, quantize_m2fnet
+    from mer_tpu.serving import (
+        M2FNetInt8, ScanPredictor, quantize_m2fnet, recollate_batches,
+        split_recollated,
+    )
 
-    qparams = jax.device_put(quantize_m2fnet(params))
-    server = M2FNetInt8(solver.model)
+    if int8:
+        p = jax.device_put(quantize_m2fnet(params))
+        server = M2FNetInt8(solver.model)
 
-    def predict(p, b):
-        return jnp.argmax(server.apply(p, b["text"], b["audio"], b["padding_mask"]), -1)
+        def predict(p, b):
+            return jnp.argmax(server.apply(p, b["text"], b["audio"], b["padding_mask"]), -1)
+    else:
+        p = jax.device_put(params)
+
+        def predict(p, b):
+            return jnp.argmax(
+                solver.model.apply(
+                    {"params": p}, b["text"], b["audio"], b["padding_mask"], deterministic=True
+                ), -1)
 
     host_batches = list(batcher)
-    preds = ScanPredictor(predict)(
-        qparams, [{k: b[k] for k in ("text", "audio", "padding_mask")} for b in host_batches]
-    )
+    feed = [{k: b[k] for k in ("text", "audio", "padding_mask")} for b in host_batches]
+    if serving_batch is not None:
+        merged, plan = recollate_batches(feed, serving_batch)
+        preds = split_recollated(ScanPredictor(predict)(p, merged), plan)
+    else:
+        preds = ScanPredictor(predict)(p, feed)
     metrics = BatchAveragedMetrics()
-    for b, p in zip(host_batches, preds):
+    for b, pr in zip(host_batches, preds):
         emotion = np.asarray(b["emotion"])
-        metrics.update(emotion, p, mask=emotion != -1)
+        metrics.update(emotion, pr, mask=emotion != -1)
+    mode = ("int8" if int8 else "bf16") + " scanned" + (
+        f", serving_batch={serving_batch}" if serving_batch else ""
+    )
     print(
         f"Accuracy=[{metrics.batch_averaged_accuracy * 100:.3f}%] "
-        f"Weighted_F1=[{metrics.batch_averaged_weighted_f1 * 100:.3f}%] (int8 scanned)"
+        f"Weighted_F1=[{metrics.batch_averaged_weighted_f1 * 100:.3f}%] ({mode})"
     )
     return metrics.summary()
 
 
 def main(argv=None):
-    int8 = "--int8" in (argv if argv is not None else sys.argv[1:])
-    if int8:
-        argv = [a for a in (argv if argv is not None else sys.argv[1:]) if a != "--int8"]
+    raw = list(argv if argv is not None else sys.argv[1:])
+    int8 = "--int8" in raw
+    serving_batch = None
+    if "--serving-batch" in raw:
+        i = raw.index("--serving-batch")
+        serving_batch = int(raw[i + 1])
+        del raw[i : i + 2]
+    argv = [a for a in raw if a != "--int8"]
     args = parse_args(argv)
     config, datasets, batchers, solver = build(args, ("test",))
 
@@ -62,8 +90,8 @@ def main(argv=None):
     restored = load_checkpoint(ckpt_path)
     params = restore_into(state.params, restored["params"])
 
-    if int8:
-        return _test_int8_scanned(solver, batchers["test"], params)
+    if int8 or serving_batch is not None:
+        return _test_scanned(solver, batchers["test"], params, int8, serving_batch)
     result = solver.test(batchers["test"], params)
     return result
 

@@ -166,3 +166,47 @@ class TestScanPredictor:
         assert out[-1].shape[0] == 2
         want = np.asarray(jax.jit(predict)(params, jax.tree.map(jnp.asarray, small)))
         np.testing.assert_array_equal(want, out[-1])
+
+
+class TestRecollate:
+    """recollate_batches (serving/offline.py): identity re-batching — merging
+    same-shape batches into bigger serving batches must reproduce the
+    per-batch predictions exactly (the batch axis is independent)."""
+
+    def test_plan_round_trip(self):
+        from mer_tpu.serving import recollate_batches, split_recollated
+
+        batches = _batches()
+        merged, plan = recollate_batches(batches, serving_batch=8)  # 2 per merge
+        # 3 batches of u=8 -> 2 merged (8 + 4 rows); 2 of u=16 -> 1 merged
+        assert len(merged) == 3
+        fake_preds = [np.arange(int(m["text"].shape[0]))[:, None] + 100 * j
+                      for j, m in enumerate(merged)]
+        back = split_recollated(fake_preds, plan)
+        assert len(back) == len(batches)
+        off = {}
+        for b, p in zip(batches, back):
+            assert p.shape[0] == b["text"].shape[0]
+
+    def test_predictions_identical(self):
+        from mer_tpu.serving import ScanPredictor, recollate_batches, split_recollated
+
+        model = _model()
+        batches = _batches(seed=7)
+        b0 = batches[0]
+        params = model.init(
+            jax.random.PRNGKey(0),
+            jnp.asarray(b0["text"]), jnp.asarray(b0["audio"]), jnp.asarray(b0["padding_mask"]),
+        )["params"]
+
+        def predict(p, b):
+            return jnp.argmax(
+                model.apply({"params": p}, b["text"], b["audio"], b["padding_mask"]), -1
+            )
+
+        per_batch = ScanPredictor(predict)(params, batches)
+        merged, plan = recollate_batches(batches, serving_batch=64)
+        merged_preds = ScanPredictor(predict)(params, merged)
+        back = split_recollated(merged_preds, plan)
+        for want, got in zip(per_batch, back):
+            np.testing.assert_array_equal(want, got)
