@@ -251,6 +251,17 @@ def bench_fe_export_int8(results: dict) -> None:
     qp_static = jax.device_put(apply_calibration(qp_host, sink))
     timed_loop(lambda ids, m: embed_int8(qp_static, ids, m), batches, n,
                "roberta_export_int8_static_utt_per_s")
+
+    # TPU-tuned export batch (the GPU-sized default starves the chip the
+    # same way the serving batch did — see recollate_batches): 128x128 tokens
+    tbatches = [
+        (jnp.asarray(rng.integers(2, 50000, size=(128, 128)).astype(np.int32)),
+         jnp.ones((128, 128), jnp.int32))
+        for _ in range(2)
+    ]
+    r_flops_t = roberta_forward_flops(RobertaConfig.base(), 128, 128) * len(tbatches)
+    timed_loop(lambda ids, m: embed_bf16(bf16_params, ids, m), tbatches, 128 * len(tbatches),
+               "roberta_export_tuned_utt_per_s", flops=r_flops_t)
     del params, bf16_params, qp, qp_host, qp_static
 
     # --- wav2vec2-base, batch 8 x 4 s (reference truncates at 10 s)
@@ -276,6 +287,16 @@ def bench_fe_export_int8(results: dict) -> None:
                "wav2vec2_export_bf16_utt_per_s", flops=w_flops)
     timed_loop(lambda w, l: aembed_int8(aqp, w, l), abatches, an,
                "wav2vec2_export_int8_utt_per_s", flops=w_flops, peak=V5E_PEAK_INT8)
+
+    # TPU-tuned wav2vec2 export batch: 32x4s
+    wbatches = [
+        (jnp.asarray(rng.normal(size=(32, 64000)).astype(np.float32) * 0.1),
+         jnp.full((32,), 64000, jnp.int32))
+        for _ in range(2)
+    ]
+    w_flops_t = wav2vec2_forward_flops(Wav2Vec2Config.base(), 32, 64000) * len(wbatches)
+    timed_loop(lambda w, l: aembed_bf16(abf16, w, l), wbatches, 32 * len(wbatches),
+               "wav2vec2_export_tuned_utt_per_s", flops=w_flops_t)
 
 
 def bench_fe_train(results: dict) -> None:
