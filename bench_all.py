@@ -130,6 +130,48 @@ def bench_fusion(results: dict) -> None:
     results["fusion_train_tuned_mfu_pct"] = round(frac * 100, 1)
 
 
+def bench_fusion_latency(results: dict) -> None:
+    """Serving latency (the throughput story's counterpart): one M2FNet
+    forward at dialogue batch 1 and at the reference eval batch 32, bf16.
+    ``*_compute_ms`` is device-chained scan timing (the chip's latency);
+    ``*_dispatch_ms`` includes this host's per-call dispatch path (inflated
+    by the dev tunnel; real TPU hosts dispatch in ~µs)."""
+    import jax
+    import jax.numpy as jnp
+
+    from mer_tpu.models import M2FNet
+
+    model = M2FNet(dtype=jnp.bfloat16, scan_layers=True)
+    rng = np.random.default_rng(0)
+    u = 8
+    text = jnp.asarray(rng.normal(size=(32, u, 768)).astype(np.float32))
+    audio = jnp.asarray(rng.normal(size=(32, u, 768)).astype(np.float32))
+    mask = jnp.asarray(rng.random((32, u)) < 0.1)
+    params = jax.device_put(
+        jax.tree.map(lambda x: jnp.asarray(x, jnp.bfloat16),
+                     model.init(jax.random.PRNGKey(0), text[:2], audio[:2], mask[:2])["params"])
+    )
+
+    # params travel as jit ARGUMENTS (closures bake them into the HLO as
+    # literals -> remote-compile size rejection, CLAUDE.md gotcha 3)
+    def fwd(t, a, m, p):
+        return jnp.argmax(model.apply({"params": p}, t, a, m, deterministic=True), -1)
+
+    jfwd = jax.jit(lambda p, t, a, m: jnp.argmax(
+        model.apply({"params": p}, t, a, m, deterministic=True), -1))
+    for b, label in [(1, "fusion_latency_b1"), (32, "fusion_latency_b32")]:
+        t, a, m = text[:b], audio[:b], mask[:b]
+        results[f"{label}_compute_ms"] = round(_device_timed(fwd, (t, a, m, params), 50), 3)
+        out = jfwd(params, t, a, m)
+        np.asarray(out)
+        times = []
+        for _ in range(30):
+            t0 = time.perf_counter()
+            np.asarray(jfwd(params, t, a, m))
+            times.append(time.perf_counter() - t0)
+        results[f"{label}_dispatch_ms"] = round(float(np.median(times)) * 1e3, 2)
+
+
 def bench_fusion_int8(results: dict) -> None:
     """int8 serving engine at the same workload as the headline bench:
     per-channel int8 kernels (4x less weight HBM traffic than f32, 2x vs the
@@ -629,6 +671,7 @@ def main():
     bench_logmel(results)
     bench_fusion(results)
     fusion_roofline(results)
+    bench_fusion_latency(results)
     bench_fusion_int8(results)
     bench_fe_export_int8(results)
     bench_fe_train(results)

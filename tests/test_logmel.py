@@ -143,3 +143,57 @@ class TestFullPipeline:
         batch, lengths = prepare_waveform_batch([_tone(0.5)], cfg)
         out = np.asarray(log_mel_spectrogram(jnp.asarray(batch), jnp.asarray(lengths), cfg))
         assert out.min() >= 0.0 and out.max() <= 1.0
+
+
+class TestReflectPadBatch:
+    """reflect_pad_batch (the gather-free production pad) must equal the
+    reflect_pad_indices golden gather at every sample a valid frame reads,
+    across pathological lengths (1, < pad, = max) and batch mixes."""
+
+    def _check(self, max_samples, pad, hop, lengths):
+        from mer_tpu.ops.logmel import reflect_pad_batch
+
+        rng = np.random.default_rng(0)
+        b = len(lengths)
+        y = np.zeros((b, max_samples), np.float32)
+        for i, L in enumerate(lengths):
+            y[i, :L] = rng.normal(size=L)
+        got = np.asarray(
+            reflect_pad_batch(jnp.asarray(y), jnp.asarray(np.asarray(lengths, np.int32)),
+                              max_samples, pad)
+        )
+        assert got.shape == (b, max_samples + 2 * pad)
+        n_fft = 2 * pad
+        for i, L in enumerate(lengths):
+            pos = np.asarray(reflect_pad_indices(max_samples, pad, jnp.asarray(int(L))))
+            ref = y[i][pos]
+            n_frames = 1 + L // hop
+            max_read = min((n_frames - 1) * hop + n_fft, max_samples + 2 * pad)
+            np.testing.assert_array_equal(got[i, :max_read], ref[:max_read], err_msg=f"L={L}")
+
+    def test_mel_config_shapes(self):
+        cfg = MelConfig()
+        self._check(cfg.max_samples, cfg.n_fft // 2, cfg.hop_length,
+                    [1, 5, 150, 199, 200, 201, 16000, cfg.max_samples - 1, cfg.max_samples])
+
+    def test_small_buffer(self):
+        self._check(64, 8, 4, [1, 3, 7, 8, 9, 20, 63, 64])
+
+
+class TestFrameSignalFallback:
+    def test_gather_fallback_when_buffer_too_short(self):
+        # n_frames * hop exceeds what the chunked reshape can cover -> the
+        # slice path must fall back to the gather and still index correctly
+        y = np.arange(40, dtype=np.float32)
+        frames = np.asarray(frame_signal(jnp.asarray(y), n_frames=4, n_fft=16, hop=10))
+        for i in range(3):  # frames fully inside the buffer
+            np.testing.assert_array_equal(frames[i], y[i * 10 : i * 10 + 16])
+
+    def test_batched_2d(self):
+        rng = np.random.default_rng(1)
+        y = rng.normal(size=(3, 100)).astype(np.float32)
+        frames = np.asarray(frame_signal(jnp.asarray(y), n_frames=5, n_fft=16, hop=10))
+        assert frames.shape == (3, 5, 16)
+        for bi in range(3):
+            for i in range(5):
+                np.testing.assert_array_equal(frames[bi, i], y[bi, i * 10 : i * 10 + 16])
