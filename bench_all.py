@@ -653,6 +653,13 @@ def bench_e2e(results: dict, data_root: str) -> None:
             elif "e2e stages:" in line:
                 # per-stage wall-clock breakdown (tunnel vs compute bound)
                 results[stages_key] = json.loads(line.split("e2e stages:", 1)[1])
+        if results[key] is None:
+            # never record a silent null: keep the evidence of WHY it failed
+            # (a prior run wrote e2e_streaming_mel_utt_per_s: null with no trace)
+            tail = "\n".join((proc.stderr or proc.stdout or "").splitlines()[-15:])
+            results[key + "_error"] = f"rc={proc.returncode}: {tail}"
+            print(f"[bench_all] e2e leg {key} FAILED rc={proc.returncode}\n{tail}",
+                  file=sys.stderr)
 
 
 def main():

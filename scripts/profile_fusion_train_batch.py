@@ -44,7 +44,7 @@ def main():
     rng = np.random.default_rng(0)
 
     results = {}
-    for b in (32, 64, 128, 256):
+    for b in (32, 64, 128, 256, 512):
         text = jnp.asarray(rng.normal(size=(b, u, d)).astype(np.float32))
         audio = jnp.asarray(rng.normal(size=(b, u, d)).astype(np.float32))
         mask = jnp.asarray(rng.random((b, u)) < 0.1)
