@@ -21,6 +21,7 @@ from __future__ import annotations
 
 from dataclasses import dataclass, field
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 from flax import linen as nn
@@ -73,6 +74,56 @@ class ConvFeatureExtractor(nn.Module):
                                  dtype=self.dtype, name="group_norm")(x)
             x = nn.gelu(x, approximate=False)
         return x
+
+
+def _strided_windows(x: jnp.ndarray, k: int, s: int) -> jnp.ndarray:
+    """[B, L, C] -> [B, out_len, k*C] overlapping windows (stride s) built
+    from contiguous slices of a stride-grouped reshape — no general gather,
+    no strided slice (both hit the TPU scalar path; see ops/logmel.py's
+    frame_signal for the same rewrite winning 34x there).
+
+    Window t, tap j reads sample t*s + j = row (t + j//s), column (j % s) of
+    the [B, L//s, s*C] reshape; each tap is one contiguous slice."""
+    b, l, c = x.shape
+    out_len = (l - k) // s + 1
+    if k == s:
+        return x[:, : out_len * s, :].reshape(b, out_len, k * c)
+    nrows = l // s
+    need = out_len + (k - 1) // s  # last row any tap touches, +1
+    xr = x[:, : nrows * s, :].reshape(b, nrows, s * c)
+    if need > nrows:  # tight tail: one zero row (those taps are never read
+        # by valid windows beyond out_len, padding keeps slices in-bounds)
+        xr = jnp.pad(xr, ((0, 0), (0, need - nrows), (0, 0)))
+    taps = []
+    for j in range(k):
+        r, col = divmod(j, s)
+        taps.append(xr[:, r : r + out_len, col * c : (col + 1) * c])
+    return jnp.concatenate(taps, axis=-1)
+
+
+def conv_stack_gemm(params: dict, waveforms: jnp.ndarray, cfg: Wav2Vec2Config,
+                    dtype=jnp.float32) -> jnp.ndarray:
+    """The ConvFeatureExtractor forward as explicit windows+GEMM per layer
+    (identical math: VALID strided conv == [B*T, k*Cin] @ [k*Cin, Cout]).
+
+    Same params tree as ConvFeatureExtractor (conv_i/kernel [k, Cin, Cout],
+    group_norm after conv_0, exact GELU) — drop-in for the module's apply."""
+    x = waveforms[:, :, None].astype(dtype)
+    for i, (dim, k, s) in enumerate(zip(cfg.conv_dim, cfg.conv_kernel, cfg.conv_stride)):
+        kernel = params[f"conv_{i}"]["kernel"].astype(dtype)  # [k, Cin, Cout]
+        cin = kernel.shape[1]
+        w = _strided_windows(x, k, s)  # [B, T, k*Cin]
+        x = jnp.einsum("btk,kd->btd", w, kernel.reshape(k * cin, dim))
+        if i == 0:
+            gp = params["group_norm"]
+            # GroupNorm(C, C) == per-channel normalization over time, f32 stats
+            xf = x.astype(jnp.float32)
+            mean = xf.mean(axis=1, keepdims=True)
+            var = xf.var(axis=1, keepdims=True)
+            xf = (xf - mean) * jax.lax.rsqrt(var + cfg.layer_norm_eps)
+            x = (xf * gp["scale"] + gp["bias"]).astype(dtype)
+        x = nn.gelu(x, approximate=False)
+    return x
 
 
 class ConvPositionalEmbedding(nn.Module):

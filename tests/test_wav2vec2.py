@@ -105,3 +105,35 @@ class TestWav2Vec2Parity:
         # note: clip 1's *conv* receptive fields straddle the boundary, so
         # only the fully-valid clip is bitwise stable — that is also true of
         # the reference implementation.
+
+
+class TestConvStackGemm:
+    """conv_stack_gemm == ConvFeatureExtractor (the windows+GEMM rewrite of
+    the temporal conv stack must be a drop-in for the XLA conv lowering)."""
+
+    def test_matches_module_f32(self):
+        from mer_tpu.models.wav2vec2 import ConvFeatureExtractor, conv_stack_gemm
+
+        waves, _ = _waves(b=3, l=1000, seed=4)
+        module = ConvFeatureExtractor(SMALL)
+        params = module.init(jax.random.PRNGKey(1), jnp.asarray(waves))["params"]
+        ref = np.asarray(module.apply({"params": params}, jnp.asarray(waves)))
+        got = np.asarray(conv_stack_gemm(params, jnp.asarray(waves), SMALL))
+        assert got.shape == ref.shape
+        np.testing.assert_allclose(got, ref, rtol=1e-5, atol=1e-5)
+
+    def test_matches_module_base_config_windows(self):
+        """Full base-config kernel/stride schedule (incl. the k=10/s=5 first
+        layer and k=2/s=2 tail) at an awkward length that exercises the
+        tight-tail padding branch of _strided_windows."""
+        from mer_tpu.models.wav2vec2 import ConvFeatureExtractor, conv_stack_gemm
+
+        cfg = Wav2Vec2Config(conv_dim=(8,) * 7)
+        rng = np.random.default_rng(5)
+        waves = jnp.asarray(rng.normal(size=(2, 3217)).astype(np.float32))
+        module = ConvFeatureExtractor(cfg)
+        params = module.init(jax.random.PRNGKey(2), waves)["params"]
+        ref = np.asarray(module.apply({"params": params}, waves))
+        got = np.asarray(conv_stack_gemm(params, waves, cfg))
+        assert got.shape == ref.shape
+        np.testing.assert_allclose(got, ref, rtol=1e-5, atol=1e-5)
