@@ -56,18 +56,51 @@ class Wav2Vec2Config:
         return lengths
 
 
-class ConvFeatureExtractor(nn.Module):
-    """Temporal conv stack on raw waveforms [B, L] -> [B, T, C]."""
+class _Conv1dGemm(nn.Module):
+    """VALID strided temporal conv as windows+GEMM. Param-tree-compatible
+    with the ``nn.Conv`` it replaces (kernel [k, Cin, Cout], no bias; same
+    lecun-normal init over fan_in = k*Cin)."""
 
-    cfg: Wav2Vec2Config
+    features: int
+    kernel_size: int
+    stride: int
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        k, s = self.kernel_size, self.stride
+        cin = x.shape[-1]
+        kernel = self.param(
+            "kernel", nn.initializers.lecun_normal(), (k, cin, self.features)
+        )
+        w = _strided_windows(x.astype(self.dtype), k, s)
+        return jnp.einsum(
+            "btk,kd->btd", w, kernel.astype(self.dtype).reshape(k * cin, self.features)
+        )
+
+
+class ConvFeatureExtractor(nn.Module):
+    """Temporal conv stack on raw waveforms [B, L] -> [B, T, C].
+
+    ``use_gemm``: compute each conv as strided-window reshape + MXU GEMM
+    instead of XLA's conv lowering (identical math and param tree; see
+    _strided_windows). None = backend default (off until the device profile
+    says otherwise — scripts/profile_w2v_conv.py)."""
+
+    cfg: Wav2Vec2Config
+    dtype: jnp.dtype = jnp.float32
+    use_gemm: bool | None = None
+
+    @nn.compact
     def __call__(self, waveforms: jnp.ndarray) -> jnp.ndarray:
+        use_gemm = self.use_gemm if self.use_gemm is not None else False
         x = waveforms[:, :, None]  # [B, L, 1]
         for i, (dim, k, s) in enumerate(zip(self.cfg.conv_dim, self.cfg.conv_kernel, self.cfg.conv_stride)):
-            x = nn.Conv(dim, (k,), strides=(s,), padding="VALID", use_bias=False,
-                        dtype=self.dtype, name=f"conv_{i}")(x)
+            if use_gemm:
+                x = _Conv1dGemm(dim, k, s, dtype=self.dtype, name=f"conv_{i}")(x)
+            else:
+                x = nn.Conv(dim, (k,), strides=(s,), padding="VALID", use_bias=False,
+                            dtype=self.dtype, name=f"conv_{i}")(x)
             if i == 0:
                 # GroupNorm(num_groups=C, C) == per-channel norm over time
                 x = nn.GroupNorm(num_groups=self.cfg.conv_dim[0], epsilon=self.cfg.layer_norm_eps,

@@ -137,3 +137,17 @@ class TestConvStackGemm:
         got = np.asarray(conv_stack_gemm(params, waves, cfg))
         assert got.shape == ref.shape
         np.testing.assert_allclose(got, ref, rtol=1e-5, atol=1e-5)
+
+    def test_module_gemm_mode_interchangeable(self):
+        """use_gemm=True is a drop-in: same param tree, same outputs."""
+        from mer_tpu.models.wav2vec2 import ConvFeatureExtractor
+
+        waves, _ = _waves(b=2, l=900, seed=6)
+        ref_mod = ConvFeatureExtractor(SMALL)
+        gemm_mod = ConvFeatureExtractor(SMALL, use_gemm=True)
+        params = ref_mod.init(jax.random.PRNGKey(3), jnp.asarray(waves))["params"]
+        gemm_params = gemm_mod.init(jax.random.PRNGKey(3), jnp.asarray(waves))["params"]
+        assert jax.tree.structure(params) == jax.tree.structure(gemm_params)
+        ref = np.asarray(ref_mod.apply({"params": params}, jnp.asarray(waves)))
+        got = np.asarray(gemm_mod.apply({"params": params}, jnp.asarray(waves)))
+        np.testing.assert_allclose(got, ref, rtol=1e-5, atol=1e-5)
