@@ -1,3 +1,8 @@
+from mer_tpu.parallel.pipeline import (
+    make_pp_mesh,
+    pipeline_apply,
+    pipeline_param_sharding,
+)
 from mer_tpu.parallel.mesh import (
     batch_sharding,
     initialize_distributed,
@@ -12,6 +17,9 @@ from mer_tpu.parallel.mesh import (
 )
 
 __all__ = [
+    "pipeline_apply",
+    "pipeline_param_sharding",
+    "make_pp_mesh",
     "make_mesh",
     "mesh_from_config",
     "batch_sharding",
