@@ -1,6 +1,7 @@
 from mer_tpu.parallel.pipeline import (
     make_pp_mesh,
     pipeline_apply,
+    scanned_layer_pipeline,
     pipeline_param_sharding,
 )
 from mer_tpu.parallel.mesh import (
@@ -18,6 +19,7 @@ from mer_tpu.parallel.mesh import (
 
 __all__ = [
     "pipeline_apply",
+    "scanned_layer_pipeline",
     "pipeline_param_sharding",
     "make_pp_mesh",
     "make_mesh",

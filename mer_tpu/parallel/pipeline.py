@@ -142,6 +142,34 @@ def pipeline_apply(
     return out.reshape(b, *x.shape[1:])
 
 
+def scanned_layer_pipeline(
+    layer_module,
+    stacked_params: Any,
+    hidden: jnp.ndarray,
+    key_padding_mask: jnp.ndarray,
+    mesh: Mesh,
+    *,
+    microbatches: int | None = None,
+    batch_axis: str | None = None,
+) -> jnp.ndarray:
+    """Pipelined forward of a scanned encoder layer stack with the
+    ``(hidden, key_padding_mask, deterministic)`` call signature — the
+    layout of every 12-layer encoder in models/ (the ``layers_scan/layer``
+    param subtree of Wav2Vec2Model / RobertaModel, leaves [L, ...]).
+
+    Deterministic (inference) only: dropout rngs are not threaded through
+    the pipeline schedule.
+    """
+
+    def layer_fn(p, h, m):
+        return layer_module.apply({"params": p}, h, m, True)
+
+    return pipeline_apply(
+        stacked_params, hidden, layer_fn, mesh,
+        microbatches=microbatches, extra=key_padding_mask, batch_axis=batch_axis,
+    )
+
+
 def pipeline_param_sharding(mesh: Mesh, axis: str = "pp"):
     """NamedSharding placing [L, ...] stacked params stage-local (the layer
     axis over pp) — each stage's HBM holds only its own layers."""
@@ -163,4 +191,4 @@ def make_pp_mesh(pp: int, dp: int = 1, devices=None) -> Mesh:
     return Mesh(arr, ("dp", "pp"))
 
 
-__all__ = ["pipeline_apply", "pipeline_param_sharding", "make_pp_mesh", "stages_for"]
+__all__ = ["pipeline_apply", "scanned_layer_pipeline", "pipeline_param_sharding", "make_pp_mesh", "stages_for"]

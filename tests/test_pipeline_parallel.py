@@ -146,3 +146,54 @@ def test_rejects_indivisible():
     params3 = jax.tree.map(lambda a: a[:6], params)
     with pytest.raises(ValueError, match="pp"):
         pipeline_apply(params3, _x(b=8), _layer_fn, mesh, microbatches=4)
+
+
+class TestRealEncoderLayers:
+    """scanned_layer_pipeline over the repo's actual encoder layers equals
+    the nn.scan execution of the same stacked params."""
+
+    @staticmethod
+    def _stack_and_run(layer_module, init_layer_params, b, s, d, pp, seed):
+        rng = np.random.default_rng(seed)
+        stacked = jax.tree.map(
+            lambda leaf: jnp.stack([leaf + 0.01 * i for i in range(L)]), init_layer_params
+        )
+        hidden = jnp.asarray(rng.normal(size=(b, s, d)).astype(np.float32))
+        mask = jnp.asarray(rng.random((b, s)) < 0.2)
+
+        def body(c, p):
+            return layer_module.apply({"params": p}, c, mask, True), None
+
+        ref = np.asarray(lax.scan(body, hidden, stacked)[0])
+        from mer_tpu.parallel import scanned_layer_pipeline
+
+        mesh = make_pp_mesh(pp=pp)
+        got = np.asarray(
+            jax.jit(
+                lambda sp, h, m: scanned_layer_pipeline(
+                    layer_module, sp, h, m, mesh, microbatches=b // 1
+                )
+            )(stacked, hidden, mask)
+        )
+        np.testing.assert_allclose(got, ref, rtol=2e-5, atol=2e-5)
+
+    def test_wav2vec2_encoder_layer(self):
+        from mer_tpu.models.wav2vec2 import Wav2Vec2Config, Wav2Vec2EncoderLayer
+
+        cfg = Wav2Vec2Config(hidden_size=32, num_attention_heads=4, intermediate_size=64)
+        layer = Wav2Vec2EncoderLayer(cfg)
+        hidden = jnp.zeros((2, 5, 32))
+        p0 = layer.init(jax.random.PRNGKey(0), hidden, jnp.zeros((2, 5), bool))["params"]
+        self._stack_and_run(layer, p0, b=8, s=5, d=32, pp=4, seed=20)
+
+    def test_roberta_layer(self):
+        from mer_tpu.models.roberta import RobertaConfig, RobertaLayer
+
+        cfg = RobertaConfig(
+            hidden_size=32, num_attention_heads=4, intermediate_size=64,
+            num_hidden_layers=L, vocab_size=64, max_position_embeddings=16,
+        )
+        layer = RobertaLayer(cfg)
+        hidden = jnp.zeros((2, 5, 32))
+        p0 = layer.init(jax.random.PRNGKey(1), hidden, jnp.zeros((2, 5), bool))["params"]
+        self._stack_and_run(layer, p0, b=8, s=5, d=32, pp=4, seed=21)
