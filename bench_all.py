@@ -640,11 +640,19 @@ def bench_e2e(results: dict, data_root: str) -> None:
         ((), "e2e_streaming_utt_per_s", "e2e_stages"),
         (("--audio", "mel"), "e2e_streaming_mel_utt_per_s", "e2e_mel_stages"),
     ]:
-        proc = subprocess.run(
-            [sys.executable, os.path.join(REPO_ROOT, "src", "e2e_stream.py"),
-             "--data-root", data_root, "--toy-tokenizer", *extra],
-            capture_output=True, text=True, timeout=3600,
-        )
+        try:
+            proc = subprocess.run(
+                [sys.executable, os.path.join(REPO_ROOT, "src", "e2e_stream.py"),
+                 "--data-root", data_root, "--toy-tokenizer", *extra],
+                capture_output=True, text=True, timeout=3600,
+            )
+        except subprocess.TimeoutExpired:
+            # don't abort the whole evidence run (and lose every earlier
+            # leg's numbers) on one stalled compile
+            results[key] = None
+            results[key + "_error"] = "timeout after 3600s"
+            print(f"[bench_all] e2e leg {key} TIMED OUT", file=sys.stderr)
+            continue
         results[key] = None
         for line in proc.stdout.splitlines():
             if "e2e streaming:" in line:

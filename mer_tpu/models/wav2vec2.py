@@ -121,12 +121,14 @@ def _strided_windows(x: jnp.ndarray, k: int, s: int) -> jnp.ndarray:
     out_len = (l - k) // s + 1
     if k == s:
         return x[:, : out_len * s, :].reshape(b, out_len, k * c)
-    nrows = l // s
-    need = out_len + (k - 1) // s  # last row any tap touches, +1
-    xr = x[:, : nrows * s, :].reshape(b, nrows, s * c)
-    if need > nrows:  # tight tail: one zero row (those taps are never read
-        # by valid windows beyond out_len, padding keeps slices in-bounds)
-        xr = jnp.pad(xr, ((0, 0), (0, need - nrows), (0, 0)))
+    # pad UP to a whole number of stride rows covering every tap's last row
+    # (never truncate first: the last valid window's tail samples can live in
+    # the l % s remainder). Padded positions p >= l are provably never read:
+    # any tap sample index is t*s + j <= (out_len-1)*s + k-1 <= l-1.
+    rows = out_len + (k - 1) // s
+    if rows * s > l:
+        x = jnp.pad(x, ((0, 0), (0, rows * s - l), (0, 0)))
+    xr = x[:, : rows * s, :].reshape(b, rows, s * c)
     taps = []
     for j in range(k):
         r, col = divmod(j, s)

@@ -82,6 +82,11 @@ def pipeline_apply(
     n_layers = jax.tree.leaves(layer_params)[0].shape[0]
     if n_layers % pp:
         raise ValueError(f"{n_layers} layers not divisible by pp={pp}")
+    if batch_axis is not None and (b // m) % mesh.shape[batch_axis]:
+        raise ValueError(
+            f"microbatch rows {b}//{m}={b // m} not divisible by "
+            f"{batch_axis}={mesh.shape[batch_axis]}"
+        )
 
     xm = x.reshape(m, b // m, *x.shape[1:])
     extram = jax.tree.map(lambda e: e.reshape(m, b // m, *e.shape[1:]), extra)

@@ -51,24 +51,26 @@ def conv_flops(batch: int, length: int) -> float:
     return total * batch
 
 
-def timed(fn, *args) -> float:
-    """Median wall of REPEATS device-chained runs; value-fetch synced."""
+def timed(fn, params, wav) -> float:
+    """Min wall over 3 fetch-synced runs of REPEATS device-chained
+    iterations. The carry perturbs the input each iteration (the
+    bench_attention.py trick) so XLA cannot hoist the loop-invariant conv
+    out of the scan."""
 
-    def chained(*a):
+    def chained(p, w):
         def body(c, _):
-            out = fn(*a)
-            # fold the output into a scalar carry: forces sequential execution
-            return c + jnp.sum(out[..., 0, 0]).astype(jnp.float32), None
+            out = fn(p, w + c * 1e-30)
+            return jnp.sum(out[..., 0, 0]).astype(jnp.float32), None
 
         acc, _ = jax.lax.scan(body, jnp.float32(0), None, length=REPEATS)
         return acc
 
     j = jax.jit(chained)
-    float(j(*args))  # compile + warm
+    float(j(params, wav))  # compile + warm
     times = []
     for _ in range(3):
         t0 = time.perf_counter()
-        float(j(*args))
+        float(j(params, wav))
         times.append((time.perf_counter() - t0) / REPEATS)
     return min(times)
 

@@ -122,21 +122,43 @@ class TestConvStackGemm:
         assert got.shape == ref.shape
         np.testing.assert_allclose(got, ref, rtol=1e-5, atol=1e-5)
 
-    def test_matches_module_base_config_windows(self):
+    @pytest.mark.parametrize("length", [3217, 1045, 1052, 1059, 1066, 64000])
+    def test_matches_module_base_config_windows(self, length):
         """Full base-config kernel/stride schedule (incl. the k=10/s=5 first
-        layer and k=2/s=2 tail) at an awkward length that exercises the
-        tight-tail padding branch of _strided_windows."""
+        layer and k=2/s=2 tail) at awkward lengths. 1045..1066 are lengths
+        where a window's tail samples land in the l % s remainder at a layer
+        whose final frame SURVIVES to the output — a truncate-before-reshape
+        bug in _strided_windows corrupted exactly these (review finding);
+        64000 is the standard 4 s clip, which hits that condition at
+        layers 1-4."""
         from mer_tpu.models.wav2vec2 import ConvFeatureExtractor, conv_stack_gemm
 
         cfg = Wav2Vec2Config(conv_dim=(8,) * 7)
         rng = np.random.default_rng(5)
-        waves = jnp.asarray(rng.normal(size=(2, 3217)).astype(np.float32))
+        waves = jnp.asarray(rng.normal(size=(2, length)).astype(np.float32))
         module = ConvFeatureExtractor(cfg)
         params = module.init(jax.random.PRNGKey(2), waves)["params"]
         ref = np.asarray(module.apply({"params": params}, waves))
         got = np.asarray(conv_stack_gemm(params, waves, cfg))
         assert got.shape == ref.shape
-        np.testing.assert_allclose(got, ref, rtol=1e-5, atol=1e-5)
+        np.testing.assert_allclose(got, ref, rtol=1e-4, atol=1e-4)
+
+    @pytest.mark.parametrize("l,k,s", [(159, 3, 2), (158, 3, 2), (23, 10, 5), (24, 2, 2)])
+    def test_strided_windows_every_sample(self, l, k, s):
+        """_strided_windows == brute-force window gather at lengths where
+        the last window reads into the l % s remainder."""
+        from mer_tpu.models.wav2vec2 import _strided_windows
+
+        rng = np.random.default_rng(7)
+        c = 3
+        x = jnp.asarray(rng.normal(size=(2, l, c)).astype(np.float32))
+        out_len = (l - k) // s + 1
+        ref = np.stack(
+            [np.asarray(x)[:, t * s : t * s + k, :].reshape(2, k * c) for t in range(out_len)],
+            axis=1,
+        )
+        got = np.asarray(_strided_windows(x, k, s))
+        np.testing.assert_array_equal(got, ref)
 
     def test_module_gemm_mode_interchangeable(self):
         """use_gemm=True is a drop-in: same param tree, same outputs."""
