@@ -34,36 +34,51 @@ def recollate_batches(
     .py). Merging along the batch axis (same bucket width U -> same trailing
     shape) recovers that without touching model or workload semantics.
 
-    Returns (merged_batches, plan) where plan[j] = (orig_index, [(merged_j,
-    row_start, row_end)...]) inverse mapping — as a flat list of
-    (merged_index, (start, end)) per original batch, in input order — so
-    callers can scatter merged predictions back to per-batch outputs.
+    Returns (merged_batches, plan): plan[i] = (merged_index, (row_start,
+    row_end)) for original batch i, in input order — so callers can scatter
+    merged predictions back to per-batch outputs (see split_recollated).
     """
     groups: dict[tuple, list[int]] = {}
+
+    def _dtype(v) -> str:  # never np.asarray a device array just for dtype
+        return str(v.dtype) if hasattr(v, "dtype") else str(np.asarray(v).dtype)
+
     for i, b in enumerate(batches):
-        key = tuple(
-            sorted((k, tuple(np.shape(v)[1:]), str(np.asarray(v).dtype)) for k, v in b.items())
-        )
+        key = tuple(sorted((k, tuple(np.shape(v)[1:]), _dtype(v)) for k, v in b.items()))
         groups.setdefault(key, []).append(i)
 
     merged: list[dict] = []
     plan: list[tuple[int, tuple[int, int]] | None] = [None] * len(batches)
+
+    def flush(chunk: list[int]) -> None:
+        j = len(merged)
+        merged.append(
+            {
+                k: np.concatenate([np.asarray(batches[i][k]) for i in chunk])
+                for k in batches[chunk[0]].keys()
+            }
+        )
+        off = 0
+        for i in chunk:
+            n = int(np.shape(batches[i]["text"])[0])
+            plan[i] = (j, (off, off + n))
+            off += n
+
     for idxs in groups.values():
-        per_merge = max(serving_batch // int(np.shape(batches[idxs[0]]["text"])[0]), 1)
-        for start in range(0, len(idxs), per_merge):
-            chunk = idxs[start : start + per_merge]
-            j = len(merged)
-            merged.append(
-                {
-                    k: np.concatenate([np.asarray(batches[i][k]) for i in chunk])
-                    for k in batches[chunk[0]].keys()
-                }
-            )
-            off = 0
-            for i in chunk:
-                n = int(np.shape(batches[i]["text"])[0])
-                plan[i] = (j, (off, off + n))
-                off += n
+        # accumulate by CUMULATIVE rows (batch sizes can vary within a shape
+        # group — e.g. a ragged tail batch): never exceed serving_batch
+        # unless a single batch already does
+        chunk: list[int] = []
+        rows = 0
+        for i in idxs:
+            n = int(np.shape(batches[i]["text"])[0])
+            if chunk and rows + n > serving_batch:
+                flush(chunk)
+                chunk, rows = [], 0
+            chunk.append(i)
+            rows += n
+        if chunk:
+            flush(chunk)
     return merged, plan  # type: ignore[return-value]
 
 

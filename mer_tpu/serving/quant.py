@@ -302,6 +302,7 @@ def apply_calibration(qparams: Any, sink: dict, headroom: float = 1.0,
     several engines into one sink)."""
 
     matched_sites: set = set()
+    partial_sites: list = []  # scan-stacked nodes with SOME layers observed
 
     def scale_of(amax: float):
         return max(headroom * amax / 127.0, 1e-12)
@@ -322,6 +323,12 @@ def apply_calibration(qparams: Any, sink: dict, headroom: float = 1.0,
                     per_layer = [a for _, a in hits]
                     matched_sites.update(s for s, _ in hits if s is not None)
                     if any(a is None or a <= 0.0 for a in per_layer):
+                        # a half-observed stack cannot bake (the [L] array
+                        # needs every layer) — that is a partial match, not
+                        # a clean miss; surface it rather than silently
+                        # leaving the whole site on dynamic quantization
+                        if any(a is not None and a > 0.0 for a in per_layer):
+                            partial_sites.append(path)
                         return node
                     out = dict(node)
                     out["act_scale"] = jnp.asarray([scale_of(a) for a in per_layer], jnp.float32)
@@ -338,6 +345,13 @@ def apply_calibration(qparams: Any, sink: dict, headroom: float = 1.0,
         return node
 
     out = rec(qparams, ())
+    if partial_sites and not allow_partial:
+        raise ValueError(
+            f"scan-stacked site(s) {sorted(map(str, partial_sites))[:3]} were "
+            "calibrated for only a subset of their layers — the whole stack "
+            "stays on dynamic quantization. Run the calibration pass over "
+            "every layer (a full forward), or pass allow_partial=True"
+        )
     observed_sites = {_sink_site(k) for k in sink}
     unmatched = observed_sites - matched_sites
     if unmatched and not allow_partial:

@@ -73,10 +73,17 @@ def main(argv=None):
     raw = list(argv if argv is not None else sys.argv[1:])
     int8 = "--int8" in raw
     serving_batch = None
-    if "--serving-batch" in raw:
-        i = raw.index("--serving-batch")
-        serving_batch = int(raw[i + 1])
-        del raw[i : i + 2]
+    for i, a in enumerate(raw):
+        if a == "--serving-batch":
+            if i + 1 >= len(raw):
+                raise SystemExit("--serving-batch requires a value (e.g. --serving-batch 512)")
+            serving_batch = int(raw[i + 1])
+            del raw[i : i + 2]
+            break
+        if a.startswith("--serving-batch="):
+            serving_batch = int(a.split("=", 1)[1])
+            del raw[i]
+            break
     argv = [a for a in raw if a != "--int8"]
     args = parse_args(argv)
     config, datasets, batchers, solver = build(args, ("test",))

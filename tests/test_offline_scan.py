@@ -210,3 +210,36 @@ class TestRecollate:
         back = split_recollated(merged_preds, plan)
         for want, got in zip(per_batch, back):
             np.testing.assert_array_equal(want, got)
+
+
+class TestRecollateRagged:
+    """Mixed batch sizes inside one shape group (e.g. a ragged tail batch):
+    merges are capped by CUMULATIVE rows, not batch count (review finding:
+    per_merge derived from the first batch's size let a small-first group
+    blow far past serving_batch)."""
+
+    def test_cumulative_row_cap(self):
+        from mer_tpu.serving import recollate_batches, split_recollated
+
+        batches = _batches()  # 3 of b=4 u=8 + 2 of b=4 u=16 (same trailing)
+        small = {k: v[:1] for k, v in batches[0].items()}  # ragged b=1 FIRST
+        mixed = [small] + batches
+        merged, plan = recollate_batches(mixed, serving_batch=8)
+        for m in merged:
+            assert m["text"].shape[0] <= 8, m["text"].shape
+        # round trip still exact
+        fake = [np.arange(int(m["text"].shape[0])) + 1000 * j for j, m in enumerate(merged)]
+        back = split_recollated(fake, plan)
+        assert [p.shape[0] for p in back] == [b["text"].shape[0] for b in mixed]
+        seen = sorted(np.concatenate([p % 1000 for p in back]).tolist())
+        total = sum(b["text"].shape[0] for b in mixed)
+        assert len(seen) == total
+
+    def test_single_oversize_batch_kept_whole(self):
+        from mer_tpu.serving import recollate_batches
+
+        batches = _batches()
+        merged, plan = recollate_batches(batches, serving_batch=2)  # < any batch
+        assert len(merged) == len(batches)
+        for b, (j, (s, e)) in zip(batches, plan):
+            assert (s, e) == (0, b["text"].shape[0])

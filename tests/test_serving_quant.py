@@ -377,3 +377,25 @@ class TestWav2Vec2Int8:
         assert w2v["feature_extractor"]["conv_0"]["kernel"].dtype == jnp.float32
         assert w2v["pos_conv_embed"]["conv"]["kernel"].dtype == jnp.float32
         assert w2v["layer_0"]["q_proj"]["kernel_q"]["q"].dtype == jnp.int8
+
+
+class TestPartialStackedCalibration:
+    """A scan-stacked site calibrated for only SOME of its layers must raise
+    (review finding: it used to count as matched and silently stay on
+    dynamic quantization)."""
+
+    def test_partial_stack_raises(self):
+        import jax.numpy as jnp
+
+        from mer_tpu.serving import apply_calibration
+        from mer_tpu.serving.quant import quantize_tree
+
+        rng = np.random.default_rng(0)
+        tree = {"enc": {"dense": {"kernel": rng.normal(size=(3, 8, 8)).astype(np.float32)}}}
+        qp = quantize_tree(tree)
+        path = ("enc", "dense")
+        sink = {(path, 0): 1.0, (path, 1): 1.0}  # layer 2 never observed
+        with pytest.raises(ValueError, match="subset of their layers"):
+            apply_calibration(qp, sink)
+        out = apply_calibration(qp, sink, allow_partial=True)
+        assert "act_scale" not in out["enc"]["dense"]  # stays dynamic, loudly opted into
