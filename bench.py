@@ -321,9 +321,59 @@ def get_baseline(batcher, n_utterances: int) -> float:
     return value
 
 
+def probe_backend(attempts: int = 2, timeout_s: float = 180.0) -> str | None:
+    """Check the jax backend is alive BEFORE building any jax workload.
+
+    The compile service here is remote (HTTP tunnel) and has gone down
+    mid-round before — when it does, even ``jax.devices()`` hangs, so the
+    probe must run in a subprocess under a hard timeout.  Bounded retries
+    with backoff ride out transient restarts.  Returns None when healthy,
+    else a one-line reason string (bench must still print ONE JSON line).
+    """
+    import subprocess
+
+    code = (
+        "import jax, jax.numpy as jnp;"
+        "x = jnp.ones((64, 64));"
+        "(x @ x).block_until_ready();"
+        "print('OK', jax.default_backend())"
+    )
+    reason = "unknown"
+    for i in range(attempts):
+        try:
+            r = subprocess.run(
+                [sys.executable, "-c", code], capture_output=True, text=True,
+                timeout=timeout_s, cwd=REPO_ROOT,
+            )
+            if r.returncode == 0 and "OK" in r.stdout:
+                return None
+            reason = (r.stderr.strip().splitlines() or ["probe failed"])[-1][:300]
+        except subprocess.TimeoutExpired:
+            reason = f"backend probe timed out after {timeout_s:.0f}s"
+        except OSError as e:
+            reason = f"probe spawn failed: {e}"
+        if i < attempts - 1:
+            time.sleep(20.0 * (i + 1))
+    return reason
+
+
 def main():
+    # Workload + torch-CPU baseline first: neither needs a live jax backend
+    # (resolve_process falls back to (0, 1) when the runtime is unreachable),
+    # so a TPU outage cannot cost us the baseline leg.
     batcher, n_utterances = _workload()
     baseline = get_baseline(batcher, n_utterances)
+    err = probe_backend()
+    if err is not None:
+        print(json.dumps({
+            "metric": "MELD-test-shaped M2FNet fusion inference throughput (utterances/sec/chip)",
+            "value": None,
+            "unit": "utterances/sec",
+            "vs_baseline": None,
+            "baseline_torch_cpu": round(baseline, 1),
+            "error": f"jax backend unavailable: {err}",
+        }))
+        return
     device_resident, streaming = bench_tpu(batcher, n_utterances)
     int8 = bench_int8(batcher, n_utterances)
     scanned_bf16, scanned_int8, scanned_w8 = bench_scanned(batcher, n_utterances)
@@ -367,4 +417,14 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    try:
+        main()
+    except Exception as e:  # contract: ALWAYS exactly one JSON line on stdout
+        print(json.dumps({
+            "metric": "MELD-test-shaped M2FNet fusion inference throughput (utterances/sec/chip)",
+            "value": None,
+            "unit": "utterances/sec",
+            "vs_baseline": None,
+            "error": f"{type(e).__name__}: {e}"[:500],
+        }))
+        sys.exit(1)

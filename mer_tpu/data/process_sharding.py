@@ -22,14 +22,25 @@ T = TypeVar("T")
 
 
 def resolve_process(process_index: int | None, process_count: int | None) -> tuple[int, int]:
-    """Fill in defaults from the live jax runtime; validate."""
-    if process_count is None or process_index is None:
-        import jax
+    """Fill in defaults from the live jax runtime; validate.
 
-        if process_count is None:
-            process_count = jax.process_count()
-        if process_index is None:
-            process_index = jax.process_index()
+    ``jax.process_count()`` initializes the backend; if the backend is
+    unreachable (remote TPU service down) a data-layout question must not
+    crash host-side code, so fall back to the single-process layout (0, 1)
+    — correct for every non-pod run and the only safe answer when the
+    runtime cannot be asked.
+    """
+    if process_count is None or process_index is None:
+        try:
+            import jax
+
+            if process_count is None:
+                process_count = jax.process_count()
+            if process_index is None:
+                process_index = jax.process_index()
+        except Exception:
+            process_count = 1 if process_count is None else process_count
+            process_index = 0 if process_index is None else process_index
     process_index = int(process_index)
     process_count = int(process_count)
     if process_count < 1:

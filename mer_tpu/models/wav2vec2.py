@@ -111,9 +111,13 @@ class ConvFeatureExtractor(nn.Module):
 
 def _strided_windows(x: jnp.ndarray, k: int, s: int) -> jnp.ndarray:
     """[B, L, C] -> [B, out_len, k*C] overlapping windows (stride s) built
-    from contiguous slices of a stride-grouped reshape — no general gather,
-    no strided slice (both hit the TPU scalar path; see ops/logmel.py's
-    frame_signal for the same rewrite winning 34x there).
+    from contiguous slices of a stride-grouped reshape — no general gather
+    (the TPU scalar path; killing it won 34x in ops/logmel.py), and no
+    strided slice at all: unlike frame_signal's strided-slice-over-chunked-
+    reshape (cheap — lane-aligned, few slices), here the taps land on
+    CONTIGUOUS rows/columns of the [B, L//s, s*C] reshape, so plain slices
+    suffice and copy at HBM bandwidth (scripts/profile_w2v_conv.py measures
+    both forms).
 
     Window t, tap j reads sample t*s + j = row (t + j//s), column (j % s) of
     the [B, L//s, s*C] reshape; each tap is one contiguous slice."""

@@ -233,6 +233,46 @@ def frame_signal(padded: jnp.ndarray, n_frames: int, n_fft: int, hop: int) -> jn
     return jnp.take(padded, gather_idx, axis=-1)
 
 
+def _logmel_frames_jnp(frames: jnp.ndarray, cfg: MelConfig) -> jnp.ndarray:
+    """[B, F, n_fft] windowed-DFT -> mel -> log, pure-XLA schedule.
+    Differentiable; also serves as the VJP restatement for the Pallas path."""
+    window = hann_window(cfg.win_length)
+    cos_m, sin_m = dft_matrices(cfg.n_fft, window)
+    re = jnp.einsum("bfn,nk->bfk", frames, cos_m, preferred_element_type=jnp.float32)
+    im = jnp.einsum("bfn,nk->bfk", frames, sin_m, preferred_element_type=jnp.float32)
+    mag = jnp.sqrt(re * re + im * im)  # power=1
+    mel_w = mel_filterbank(cfg.sample_rate, cfg.n_fft, cfg.n_mels, cfg.fmin, cfg.fmax, norm=1)
+    mel = jnp.einsum("bfk,mk->bfm", mag, mel_w, preferred_element_type=jnp.float32)
+    return jnp.log(mel + EPS_F64)  # [B, F, M]
+
+
+from functools import partial as _partial
+
+
+@_partial(jax.custom_vjp, nondiff_argnums=(1,))
+def _logmel_frames_kernel(frames: jnp.ndarray, cfg: MelConfig) -> jnp.ndarray:
+    """Fused Pallas frames->log-mel (forward); gradients fall back to the
+    jnp restatement's VJP so differentiating through the spectrogram works
+    on TPU without the caller having to know to pass use_pallas=False.
+    Off-TPU the kernel runs in interpret mode (testability; the jnp path is
+    the default there anyway)."""
+    from mer_tpu.ops.logmel_pallas import logmel_frames_pallas
+
+    return logmel_frames_pallas(frames, cfg, interpret=jax.default_backend() != "tpu")
+
+
+def _logmel_frames_kernel_fwd(frames, cfg):
+    return _logmel_frames_kernel(frames, cfg), frames
+
+
+def _logmel_frames_kernel_bwd(cfg, frames, g):
+    _, vjp = jax.vjp(lambda f: _logmel_frames_jnp(f, cfg), frames)
+    return vjp(g)
+
+
+_logmel_frames_kernel.defvjp(_logmel_frames_kernel_fwd, _logmel_frames_kernel_bwd)
+
+
 @partial(jax.jit, static_argnames=("cfg", "quantize_png", "channels_first", "use_pallas"))
 def log_mel_spectrogram(
     audio: jnp.ndarray,
@@ -256,8 +296,9 @@ def log_mel_spectrogram(
             Pallas kernel (ops/logmel_pallas.py).  ``None`` (default) picks
             the kernel on TPU — 1.3-1.6x the XLA schedule of the full op
             (2.26 vs 3.55 ms at b=32, scripts/bench_logmel_fullop.py) — and
-            the jnp path elsewhere.  The kernel path is forward-only (no
-            VJP); pass False if differentiating through the spectrogram.
+            the jnp path elsewhere.  The kernel is forward-only, but a
+            custom_vjp routes gradients through the jnp restatement, so
+            differentiating through the spectrogram works either way.
 
     Returns float32 in [0, 1].
     """
@@ -280,22 +321,13 @@ def log_mel_spectrogram(
 
     frames = frame_signal(padded, cfg.max_frames, cfg.n_fft, cfg.hop_length)  # [B, F, n_fft]
 
-    window = hann_window(cfg.win_length)
     n_frames = 1 + length // cfg.hop_length  # frames actually defined per clip
     frame_valid = jnp.arange(cfg.max_frames)[None, :] < n_frames[:, None]  # [B, F]
 
     if use_pallas:
-        from mer_tpu.ops.logmel_pallas import logmel_frames_pallas
-
-        logmel = logmel_frames_pallas(frames, cfg)
+        logmel = _logmel_frames_kernel(frames, cfg)
     else:
-        cos_m, sin_m = dft_matrices(cfg.n_fft, window)
-        re = jnp.einsum("bfn,nk->bfk", frames, cos_m, preferred_element_type=jnp.float32)
-        im = jnp.einsum("bfn,nk->bfk", frames, sin_m, preferred_element_type=jnp.float32)
-        mag = jnp.sqrt(re * re + im * im)  # power=1
-        mel_w = mel_filterbank(cfg.sample_rate, cfg.n_fft, cfg.n_mels, cfg.fmin, cfg.fmax, norm=1)
-        mel = jnp.einsum("bfk,mk->bfm", mag, mel_w, preferred_element_type=jnp.float32)
-        logmel = jnp.log(mel + EPS_F64)  # [B, F, M]
+        logmel = _logmel_frames_jnp(frames, cfg)
 
     # per-clip min-max over *valid* frames only (dataset.py:162-164)
     big = jnp.float32(1e30)

@@ -4,6 +4,12 @@ from mer_tpu.parallel.pipeline import (
     scanned_layer_pipeline,
     pipeline_param_sharding,
 )
+from mer_tpu.parallel.pp_forward import (
+    audio_erc_logits_pp,
+    roberta_hidden_pp,
+    text_erc_logits_pp,
+    wav2vec2_hidden_pp,
+)
 from mer_tpu.parallel.mesh import (
     batch_sharding,
     initialize_distributed,
@@ -22,6 +28,10 @@ __all__ = [
     "scanned_layer_pipeline",
     "pipeline_param_sharding",
     "make_pp_mesh",
+    "text_erc_logits_pp",
+    "audio_erc_logits_pp",
+    "roberta_hidden_pp",
+    "wav2vec2_hidden_pp",
     "make_mesh",
     "mesh_from_config",
     "batch_sharding",

@@ -56,6 +56,7 @@ def pipeline_apply(
     microbatches: int | None = None,
     extra: Any = None,
     batch_axis: str | None = None,
+    rng: jnp.ndarray | None = None,
 ) -> jnp.ndarray:
     """Run ``x`` through the full stacked layer stack, pipelined over
     ``axis``.
@@ -73,6 +74,19 @@ def pipeline_apply(
         ``layer_fn``'s third argument.
     batch_axis: mesh axis the batch rows are data-parallel over, if any —
         keeps microbatch rows sharded over it end to end.
+    rng: optional PRNG key for per-layer stochasticity (dropout in
+        training).  When given, ``layer_fn`` is called with a trailing key
+        argument, folded from (global layer index, microbatch index) — every
+        (layer, microbatch) pair gets an independent stream, identical
+        regardless of pp size for a fixed (L, m).
+
+    Output cost note: the result is returned by zeroing non-last stages and
+    ``lax.psum`` over ``axis`` — every stage all-reduces the full
+    [m, rows, ...] output buffer (~2(pp-1)/pp x buffer ICI bytes, vs
+    (pp-1)/pp for a one-to-all broadcast from stage pp-1).  For encoder
+    stacks the output is one activation tensor and this is noise next to the
+    per-tick ppermutes; revisit with a ppermute-chain broadcast only if
+    pipeline outputs ever dominate ICI traffic at scale.
     """
     pp = stages_for(mesh, axis)
     m = microbatches if microbatches is not None else pp
@@ -95,15 +109,24 @@ def pipeline_apply(
     param_specs = jax.tree.map(lambda _: P(axis), layer_params)
     extra_specs = jax.tree.map(lambda _: row, extram)
 
-    def stage_fn(local_params, x_all, extra_all):
+    per_stage = n_layers // pp
+    use_rng = rng is not None
+    rng_in = rng if use_rng else jnp.zeros((2,), jnp.uint32)
+
+    def stage_fn(local_params, x_all, extra_all, rng_key):
         d = lax.axis_index(axis)
 
-        def local_stack(xi, ei):
-            def body(c, p):
-                out = layer_fn(p, c, ei) if extra is not None else layer_fn(p, c)
-                return out, None
+        def local_stack(xi, ei, mb):
+            def body(c, pi):
+                p, i = pi
+                if use_rng:
+                    key = jax.random.fold_in(rng_key, (d * per_stage + i) * m + mb)
+                    args = (p, c, ei, key) if extra is not None else (p, c, key)
+                else:
+                    args = (p, c, ei) if extra is not None else (p, c)
+                return layer_fn(*args), None
 
-            return lax.scan(body, xi, local_params)[0]
+            return lax.scan(body, xi, (local_params, jnp.arange(per_stage)))[0]
 
         perm = [(i, (i + 1) % pp) for i in range(pp)]
 
@@ -120,7 +143,7 @@ def pipeline_apply(
             e_in = jax.tree.map(
                 lambda e: lax.dynamic_index_in_dim(e, mb_c, 0, False), extra_all
             )
-            y = local_stack(x_in, e_in)
+            y = local_stack(x_in, e_in, mb_c)
             y = jnp.where(active, y, buf)  # hold bubbles harmless
             write = active & (d == pp - 1)
             cur = lax.dynamic_index_in_dim(outs, mb_c, 0, False)
@@ -140,10 +163,10 @@ def pipeline_apply(
     out = shard_map(
         stage_fn,
         mesh=mesh,
-        in_specs=(param_specs, row, extra_specs),
+        in_specs=(param_specs, row, extra_specs, P()),
         out_specs=row,
         check_vma=False,
-    )(layer_params, xm, extram)
+    )(layer_params, xm, extram, rng_in)
     return out.reshape(b, *x.shape[1:])
 
 
@@ -156,15 +179,31 @@ def scanned_layer_pipeline(
     *,
     microbatches: int | None = None,
     batch_axis: str | None = None,
+    deterministic: bool = True,
+    rng: jnp.ndarray | None = None,
 ) -> jnp.ndarray:
     """Pipelined forward of a scanned encoder layer stack with the
     ``(hidden, key_padding_mask, deterministic)`` call signature — the
     layout of every 12-layer encoder in models/ (the ``layers_scan/layer``
     param subtree of Wav2Vec2Model / RobertaModel, leaves [L, ...]).
 
-    Deterministic (inference) only: dropout rngs are not threaded through
-    the pipeline schedule.
+    ``deterministic=False`` (training) requires ``rng``: each (layer,
+    microbatch) dropout draw gets an independent key via pipeline_apply's
+    rng threading.  Dropout patterns differ from the non-pp nn.scan path
+    (different fold-in structure) — same distribution, not the same draws.
     """
+    if not deterministic:
+        if rng is None:
+            raise ValueError("deterministic=False requires rng for dropout")
+
+        def layer_fn(p, h, m, key):
+            return layer_module.apply({"params": p}, h, m, False, rngs={"dropout": key})
+
+        return pipeline_apply(
+            stacked_params, hidden, layer_fn, mesh,
+            microbatches=microbatches, extra=key_padding_mask,
+            batch_axis=batch_axis, rng=rng,
+        )
 
     def layer_fn(p, h, m):
         return layer_module.apply({"params": p}, h, m, True)

@@ -22,7 +22,7 @@ import numpy as np
 
 def recollate_batches(
     batches: list[dict], serving_batch: int = 512
-) -> tuple[list[dict], list[tuple[int, list[tuple[int, int]]]]]:
+) -> tuple[list[dict], list[tuple[int, tuple[int, int]]]]:
     """Merge same-shape batches into larger serving batches (identity
     re-batching: per-dialogue predictions are unchanged — the batch axis is
     independent — only the GEMM sizes grow).
@@ -50,6 +50,11 @@ def recollate_batches(
     merged: list[dict] = []
     plan: list[tuple[int, tuple[int, int]] | None] = [None] * len(batches)
 
+    def _rows(b: dict) -> int:
+        # leading-axis row count from any key (all keys share the batch axis
+        # — the group key only fixes trailing shapes, so don't assume 'text')
+        return int(np.shape(next(iter(b.values())))[0])
+
     def flush(chunk: list[int]) -> None:
         j = len(merged)
         merged.append(
@@ -60,7 +65,7 @@ def recollate_batches(
         )
         off = 0
         for i in chunk:
-            n = int(np.shape(batches[i]["text"])[0])
+            n = _rows(batches[i])
             plan[i] = (j, (off, off + n))
             off += n
 
@@ -71,7 +76,7 @@ def recollate_batches(
         chunk: list[int] = []
         rows = 0
         for i in idxs:
-            n = int(np.shape(batches[i]["text"])[0])
+            n = _rows(batches[i])
             if chunk and rows + n > serving_batch:
                 flush(chunk)
                 chunk, rows = [], 0

@@ -62,6 +62,7 @@ class FESolver:
         class_weights: np.ndarray | None = None,
         seed: int = 0,
         mesh=None,
+        pp_logits_fn: Callable | None = None,
     ):
         self.model = model
         self.config = config
@@ -69,6 +70,14 @@ class FESolver:
         self.batch_to_inputs = batch_to_inputs
         self.seed = seed
         self.mesh = mesh
+        # pipeline parallelism: a split forward (parallel/pp_forward.py) with
+        # signature (params, *inputs, deterministic=..., rng=...) -> logits
+        # that routes the scanned encoder stack through scanned_layer_pipeline
+        # over the mesh's pp axis.  Entry points build it for --pp N.
+        self.pp_logits_fn = pp_logits_fn
+        if pp_logits_fn is not None:
+            if mesh is None or "pp" not in mesh.axis_names:
+                raise ValueError("pp_logits_fn requires a mesh with a 'pp' axis")
         self.logger = RunLogger(config)
 
         cw = None if class_weights is None else jnp.asarray(class_weights)
@@ -117,7 +126,24 @@ class FESolver:
         inputs = self.batch_to_inputs(jax.tree.map(jnp.asarray, example_batch))
         params = self.model.init({"params": rng}, *inputs)["params"]
         if self.mesh is not None:
-            if "tp" in self.mesh.axis_names and self.mesh.shape["tp"] > 1:
+            if self.pp_logits_fn is not None and self.mesh.shape.get("pp", 1) > 1:
+                # stage-local layer placement: [L, ...] stacked encoder params
+                # sharded over pp on the layer axis (each stage's HBM holds
+                # only its own layers); everything else replicated
+                from jax.sharding import NamedSharding, PartitionSpec
+
+                stack_shard = NamedSharding(self.mesh, PartitionSpec("pp"))
+                repl = replicated(self.mesh)
+                backbone = self.backbone_key
+
+                def place(path, leaf):
+                    names = [getattr(p, "key", None) for p in path]
+                    if names[:1] == [backbone] and "layers_scan" in names:
+                        return jax.device_put(leaf, stack_shard)
+                    return jax.device_put(leaf, repl)
+
+                params = jax.tree_util.tree_map_with_path(place, params)
+            elif "tp" in self.mesh.axis_names and self.mesh.shape["tp"] > 1:
                 # Megatron-style TP over the encoder stack (the rules are
                 # name-generic, parallel/mesh.py) + dp grad all-reduce;
                 # optimizer moments inherit the kernel shardings
@@ -159,16 +185,22 @@ class FESolver:
 
     def _build_steps(self):
         model, loss_fn, batch_to_inputs = self.model, self.loss_fn, self.batch_to_inputs
+        pp_fn = self.pp_logits_fn
+
+        def train_logits(params, batch, step_rng):
+            if pp_fn is not None:
+                return pp_fn(params, *batch_to_inputs(batch), deterministic=False, rng=step_rng)
+            return model.apply(
+                {"params": params}, *batch_to_inputs(batch),
+                deterministic=False, rngs={"dropout": step_rng},
+            )
 
         def make_step(optimizer, opt_key, advance_step, watched=False):
             def step_fn(state, batch, rng):
                 step_rng = jax.random.fold_in(rng, state["step"])
 
                 def compute_loss(params):
-                    logits = model.apply(
-                        {"params": params}, *batch_to_inputs(batch),
-                        deterministic=False, rngs={"dropout": step_rng},
-                    )
+                    logits = train_logits(params, batch, step_rng)
                     return loss_fn(logits, batch["emotion"])
 
                 loss, grads = jax.value_and_grad(compute_loss)(state["params"])
@@ -195,7 +227,10 @@ class FESolver:
             self._step_finetune_watched = make_step(self.opt_finetune, "finetune_opt", advance_step=True, watched=True)
 
         def eval_step(params, batch):
-            logits = model.apply({"params": params}, *batch_to_inputs(batch), deterministic=True)
+            if pp_fn is not None:
+                logits = pp_fn(params, *batch_to_inputs(batch), deterministic=True, rng=None)
+            else:
+                logits = model.apply({"params": params}, *batch_to_inputs(batch), deterministic=True)
             return loss_fn(logits, batch["emotion"]), jnp.argmax(logits, axis=-1)
 
         self._eval_step = jax.jit(eval_step)
@@ -231,7 +266,12 @@ class FESolver:
         return state, total / max(batches, 1)
 
     def evaluate(self, params, batcher) -> tuple[float, BatchAveragedMetrics]:
-        params = jax.device_put(params)  # avoid per-call transfer of numpy trees
+        # avoid per-call transfer of numpy trees — but never re-place leaves
+        # already on device (a bare device_put would collapse pp/tp shardings
+        # to the default device)
+        params = jax.tree.map(
+            lambda x: jax.device_put(x) if isinstance(x, np.ndarray) else x, params
+        )
         metrics = BatchAveragedMetrics()
         total, batches = 0.0, 0
         for batch in prefetch(batcher, sharding=self.data_sharding):

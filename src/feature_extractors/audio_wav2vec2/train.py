@@ -6,7 +6,9 @@ import os
 import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
-from fe_common import REPO_ROOT, load_wav2vec2_model, parse_args, with_pretrained_backbone
+from fe_common import (
+    REPO_ROOT, build_pp, load_wav2vec2_model, parse_args, with_pretrained_backbone,
+)
 
 from mer_tpu.core import load_config
 from mer_tpu.data import Wav2Vec2Batcher, Wav2Vec2FeatureDataset
@@ -40,16 +42,21 @@ def main(argv=None):
 
     from mer_tpu.parallel import mesh_from_config
 
-    try:
-        mesh = mesh_from_config(config)
-    except ValueError:
-        mesh = None
+    pp_mesh, pp_logits_fn = build_pp(args, model, "wav2vec2")
+    if pp_mesh is not None:
+        mesh = pp_mesh
+    else:
+        try:
+            mesh = mesh_from_config(config)
+        except ValueError:
+            mesh = None
 
     solver = FESolver(
         model, config, backbone_key="wav2vec2",
         batch_to_inputs=w2v_batch_to_inputs,
         class_weights=class_weights,
         mesh=mesh if (mesh is not None and mesh.size > 1) else None,
+        pp_logits_fn=pp_logits_fn,
     )
 
     example = next(iter(dl_train))

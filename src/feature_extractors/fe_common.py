@@ -40,6 +40,13 @@ def parse_args(argv=None, default_config: str | None = None):
                         "without the flag the config's tpu.compute_dtype decides")
     p.add_argument("--f32", action="store_true",
                    help="force float32 compute (overrides config tpu.compute_dtype)")
+    p.add_argument("--pp", type=int, default=1,
+                   help="text/wav2vec2 fine-tune: pipeline-parallel stages "
+                        "for the 12-layer encoder stack (GPipe over a "
+                        "(dp, pp) mesh, parallel/pipeline.py); remaining "
+                        "devices become dp. Requires scan_layers.")
+    p.add_argument("--pp-microbatches", type=int, default=None,
+                   help="microbatches per pipeline round (default: pp)")
     p.add_argument("--remat", action="store_true",
                    help="text/wav2vec2 fine-tune: rematerialize each encoder "
                         "layer in the backward (activation memory ~1/L at the "
@@ -64,6 +71,42 @@ def resolve_compute_dtype(args, config=None):
         return jnp.bfloat16
     name = str(config.get_path("tpu.compute_dtype", "float32")) if config is not None else "float32"
     return jnp.bfloat16 if name in ("bfloat16", "bf16") else jnp.float32
+
+
+def build_pp(args, model, kind: str):
+    """``--pp N``: (mesh, pp_logits_fn) routing the model's scanned encoder
+    stack through GPipe pipeline parallelism (parallel/pp_forward.py);
+    remaining devices become the dp axis.  (None, None) when pp <= 1."""
+    pp = int(getattr(args, "pp", 1) or 1)
+    if pp <= 1:
+        return None, None
+    import jax
+
+    from mer_tpu.parallel import audio_erc_logits_pp, make_pp_mesh, text_erc_logits_pp
+
+    if not getattr(model, "scan_layers", False):
+        raise ValueError("--pp requires scan_layers (stacked [L, ...] encoder params)")
+    n = len(jax.devices())
+    if n % pp:
+        raise ValueError(f"--pp {pp} does not divide the {n} available devices")
+    mesh = make_pp_mesh(pp=pp, dp=n // pp)
+    mb = getattr(args, "pp_microbatches", None)
+    cfg, dtype = model.cfg, model.dtype
+    if kind == "text":
+        def fn(params, input_ids, attention_mask, *, deterministic, rng):
+            return text_erc_logits_pp(
+                params, cfg, mesh, input_ids, attention_mask, dtype=dtype,
+                deterministic=deterministic, rng=rng, microbatches=mb, batch_axis="dp")
+    elif kind == "wav2vec2":
+        def fn(params, waveforms, lengths, *, deterministic, rng):
+            return audio_erc_logits_pp(
+                params, cfg, mesh, waveforms, lengths, dtype=dtype,
+                deterministic=deterministic, rng=rng, microbatches=mb, batch_axis="dp")
+    else:
+        raise ValueError(f"unknown pp kind {kind!r}")
+    print(f"Pipeline parallelism: pp={pp} dp={n // pp} "
+          f"(microbatches={mb if mb is not None else pp})")
+    return mesh, fn
 
 
 def load_text_model_and_tokenizer(args, variant: str | None = None, config=None):

@@ -6,7 +6,9 @@ import os
 import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
-from fe_common import REPO_ROOT, load_text_model_and_tokenizer, parse_args, with_pretrained_backbone
+from fe_common import (
+    REPO_ROOT, build_pp, load_text_model_and_tokenizer, parse_args, with_pretrained_backbone,
+)
 
 from mer_tpu.core import load_config
 from mer_tpu.data import TextBatcher, TextFeatureDataset
@@ -39,16 +41,21 @@ def main(argv=None):
 
     from mer_tpu.parallel import mesh_from_config
 
-    try:
-        mesh = mesh_from_config(config)
-    except ValueError:
-        mesh = None
+    pp_mesh, pp_logits_fn = build_pp(args, model, "text")
+    if pp_mesh is not None:
+        mesh = pp_mesh
+    else:
+        try:
+            mesh = mesh_from_config(config)
+        except ValueError:
+            mesh = None
 
     solver = FESolver(
         model, config, backbone_key="roberta",
         batch_to_inputs=lambda b: (b["text"], b["attention_mask"]),
         class_weights=class_weights,
         mesh=mesh if (mesh is not None and mesh.size > 1) else None,
+        pp_logits_fn=pp_logits_fn,
     )
 
     example = next(iter(dl_train))

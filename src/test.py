@@ -59,7 +59,9 @@ def _test_scanned(solver, batcher, params, int8: bool, serving_batch: int | None
     for b, pr in zip(host_batches, preds):
         emotion = np.asarray(b["emotion"])
         metrics.update(emotion, pr, mask=emotion != -1)
-    mode = ("int8" if int8 else "bf16") + " scanned" + (
+    compute_dtype = jnp.dtype(solver.model.dtype).name  # config tpu.compute_dtype
+    mode = ("int8" if int8 else compute_dtype.replace("bfloat16", "bf16").replace(
+        "float32", "f32")) + " scanned" + (
         f", serving_batch={serving_batch}" if serving_batch else ""
     )
     print(

@@ -35,3 +35,19 @@ class TestLogmelPallas:
         golden = _golden_frames_logmel(frames, cfg)
         out = np.asarray(logmel_frames_pallas(jnp.asarray(frames), cfg, interpret=True))
         np.testing.assert_allclose(out, golden, rtol=1e-4, atol=1e-4)
+
+    def test_grad_through_kernel_path_falls_back(self):
+        """use_pallas=True must be differentiable: the custom_vjp routes the
+        backward pass through the jnp restatement (ADVICE r3: previously an
+        opaque Pallas trace error)."""
+        import jax
+
+        from mer_tpu.ops.logmel import _logmel_frames_jnp, _logmel_frames_kernel
+
+        cfg = MelConfig()
+        rng = np.random.default_rng(2)
+        frames = jnp.asarray(rng.normal(size=(1, 32, cfg.n_fft)).astype(np.float32) * 0.1)
+
+        g_kernel = jax.grad(lambda f: _logmel_frames_kernel(f, cfg).sum())(frames)
+        g_jnp = jax.grad(lambda f: _logmel_frames_jnp(f, cfg).sum())(frames)
+        np.testing.assert_allclose(np.asarray(g_kernel), np.asarray(g_jnp), rtol=1e-5, atol=1e-5)

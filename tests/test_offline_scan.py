@@ -243,3 +243,19 @@ class TestRecollateRagged:
         assert len(merged) == len(batches)
         for b, (j, (s, e)) in zip(batches, plan):
             assert (s, e) == (0, b["text"].shape[0])
+
+    def test_no_text_key_required(self):
+        """Row counts derive from any key, not a hardcoded 'text' (ADVICE r3)."""
+        from mer_tpu.serving import recollate_batches, split_recollated
+
+        rng = np.random.default_rng(0)
+        batches = [
+            {"features": rng.normal(size=(3, 5)).astype(np.float32),
+             "mask": np.ones((3, 5), bool)}
+            for _ in range(4)
+        ]
+        merged, plan = recollate_batches(batches, serving_batch=6)
+        assert len(merged) == 2 and all(m["features"].shape[0] == 6 for m in merged)
+        fake = [np.arange(6), np.arange(6) + 100]
+        back = split_recollated(fake, plan)
+        assert [p.shape[0] for p in back] == [3, 3, 3, 3]

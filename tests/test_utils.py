@@ -52,3 +52,29 @@ class TestRunLogger:
         logger.print("hello")
         logger.log_step(1.0)
         logger.finish()
+
+
+class TestPreflight:
+    def test_missing_assets_reported(self, tmp_path, capsys):
+        from mer_tpu.tools import preflight
+
+        rc = preflight(str(tmp_path))
+        out = capsys.readouterr().out
+        assert rc == 1
+        assert "MISSING" in out and "MELD_download.sh" in out
+
+    def test_synthetic_root_csvs_ok(self, tmp_path, capsys):
+        import subprocess
+        import sys as _sys
+
+        from mer_tpu.tools import preflight
+
+        root = tmp_path / "meld"
+        r = subprocess.run(
+            [_sys.executable, "scripts/make_synthetic_meld.py", str(root), "--dialogues", "4"],
+            capture_output=True, text=True,
+        )
+        assert r.returncode == 0, r.stderr
+        preflight(str(root))
+        out = capsys.readouterr().out
+        assert "[ok] train CSV" in out and "[ok] train wavs" in out
