@@ -54,6 +54,19 @@ def bench_fusion(results: dict) -> None:
     results["fusion_inference_tflops"] = round(tflops, 1)
     results["fusion_inference_mfu_pct"] = round(frac * 100, 1)
 
+    # headline serving mode MFU (VERDICT r3 #9): the bigbatch-512 path moved
+    # utt/s — record whether it moved MFU too (identity re-batching preserves
+    # the split FLOPs, so the same analytic numerator applies)
+    from bench import bench_scanned
+
+    big_bf16, big_int8, big_w8 = bench_scanned(batcher, n_utt, serving_batch=512)
+    results["fusion_inference_bigbatch_bf16_utt_per_s"] = round(big_bf16, 1)
+    results["fusion_inference_bigbatch_int8_utt_per_s"] = round(big_int8, 1)
+    results["fusion_inference_bigbatch_w8_utt_per_s"] = round(big_w8, 1)
+    tflops, frac = mfu(split_flops, n_utt / big_bf16, V5E_PEAK_BF16)
+    results["fusion_inference_bigbatch_bf16_mfu_pct"] = round(frac * 100, 1)
+    results["fusion_inference_bigbatch_bf16_tflops"] = round(tflops, 1)
+
     from mer_tpu.data import DeviceFusionBatcher
     from mer_tpu.data.synthetic import SyntheticFusionDataset
 
@@ -121,13 +134,46 @@ def bench_fusion(results: dict) -> None:
         state_t, _ = solver_t.train_epoch(state_t, tuned_batcher, rng)
         times.append(time.perf_counter() - t0)
     results["fusion_train_tuned_utt_per_s"] = round(n_utt_tuned / min(times), 1)
-    epoch_flops = 3 * sum(
+    epoch_flops_tuned = 3 * sum(
         m2fnet_forward_flops(model, int(idx.shape[1]), bucket) * idx.shape[0]
         for bucket, idx in tuned_batcher.epoch_index_plan()
     )
-    tflops, frac = mfu(epoch_flops, min(times))
+    tflops, frac = mfu(epoch_flops_tuned, min(times))
     results["fusion_train_tuned_tflops"] = round(tflops, 1)
     results["fusion_train_tuned_mfu_pct"] = round(frac * 100, 1)
+    wall_tuned = min(times)
+
+    # --- train-side roofline (VERDICT r3 #3): separate optimizer HBM traffic
+    # (the torch-Adam-L2 update is 7 f32 passes over params+moments per step:
+    # read p,m,v,g; write p,m,v) and fwd/bwd param traffic (read p twice,
+    # write g once) from GEMM time at bf16 peak — the train analog of
+    # fusion_roofline, answering whether low train MFU is optimizer-bandwidth
+    # or small-GEMM starvation.  Reference loop: src/train.py:217-231.
+    HBM_GB_S = 819e9
+    n_params = sum(int(np.size(x)) for x in jax.tree.leaves(state_t.params))
+    wall32 = n_utt / results["fusion_train_utt_per_s"]
+    epoch_flops32 = epoch_flops  # the b32 epoch's analytic matmul FLOPs (above)
+
+    def _train_roofline(wall_s, flops, n_steps):
+        opt_s = n_steps * n_params * 4 * 7 / HBM_GB_S
+        grad_s = n_steps * n_params * 4 * 3 / HBM_GB_S
+        gemm_s = flops / V5E_PEAK_BF16
+        return {
+            "epoch_wall_ms": round(wall_s * 1e3, 2),
+            "gemm_ms_at_bf16_peak": round(gemm_s * 1e3, 2),
+            "optimizer_hbm_ms": round(opt_s * 1e3, 2),
+            "param_grad_hbm_ms": round(grad_s * 1e3, 2),
+            "n_steps": n_steps,
+            "optimizer_fraction": round(opt_s / wall_s, 3),
+            "hbm_floor_fraction": round((opt_s + grad_s) / wall_s, 3),
+            "optimizer_bound": (opt_s + grad_s) / wall_s > 0.5,
+        }
+
+    results["fusion_train_roofline"] = {
+        "n_params": n_params,
+        "b32": _train_roofline(wall32, epoch_flops32, len(dev_batcher)),
+        "b256": _train_roofline(wall_tuned, epoch_flops_tuned, len(tuned_batcher)),
+    }
 
 
 def bench_fusion_latency(results: dict) -> None:
@@ -315,7 +361,8 @@ def bench_fe_export_int8(results: dict) -> None:
     aembed_bf16 = jax.jit(
         lambda p, w, l: audio_model.apply({"params": p}, w, l, method=AudioERC.embed)
     )
-    aqp = jax.device_put(quantize_wav2vec2(aparams))
+    aqp_host = quantize_wav2vec2(aparams)  # host tree: calibration observes on it
+    aqp = jax.device_put(aqp_host)
     aserver = Wav2Vec2Int8(audio_model)
     aembed_int8 = jax.jit(aserver.embed)
 
@@ -329,6 +376,14 @@ def bench_fe_export_int8(results: dict) -> None:
                "wav2vec2_export_bf16_utt_per_s", flops=w_flops)
     timed_loop(lambda w, l: aembed_int8(aqp, w, l), abatches, an,
                "wav2vec2_export_int8_utt_per_s", flops=w_flops, peak=V5E_PEAK_INT8)
+
+    # static activation calibration, wav2vec2 leg (VERDICT r3 #5: the int8
+    # matrix benched {a8w8, w8, static} for RoBERTa only)
+    with calibration(aqp_host) as sink:
+        aserver.embed(aqp_host, *abatches[0])  # eager observer pass
+    aqp_static = jax.device_put(apply_calibration(aqp_host, sink))
+    timed_loop(lambda w, l: aembed_int8(aqp_static, w, l), abatches, an,
+               "wav2vec2_export_int8_static_utt_per_s")
 
     # TPU-tuned wav2vec2 export batch: 32x4s
     wbatches = [
@@ -628,6 +683,28 @@ def fusion_roofline(results: dict) -> None:
     out["weight_read_fraction_bf16"] = round(out["split_weight_read_ms_bf16"] / wall_ms, 3)
     out["weight_bound"] = out["weight_read_fraction_bf16"] > 0.5
     results["fusion_roofline"] = out
+
+    # the headline 512-batch mode: merging cuts the number of full weight
+    # re-reads from n_batches to the merged count — state which resource the
+    # forward is bound on there (weight HBM vs dispatch/latency floor)
+    big = results.get("fusion_inference_bigbatch_bf16_utt_per_s")
+    if big:
+        from mer_tpu.serving import recollate_batches
+
+        feed = [{k: b[k] for k in ("text", "audio", "padding_mask")} for b in batches]
+        merged, _ = recollate_batches(feed, 512)
+        wall_big_ms = n_utt / big * 1e3
+        out_big = {
+            "split_wall_ms": round(wall_big_ms, 2),
+            "split_matmul_ms_at_bf16_peak": out["split_matmul_ms_at_bf16_peak"],
+            "split_weight_read_ms_bf16": round(
+                len(merged) * n_params * 2 / HBM_GB_S * 1e3, 2),
+            "n_batches": len(merged),
+        }
+        out_big["weight_read_fraction_bf16"] = round(
+            out_big["split_weight_read_ms_bf16"] / wall_big_ms, 3)
+        out_big["weight_bound"] = out_big["weight_read_fraction_bf16"] > 0.5
+        results["fusion_roofline_bigbatch"] = out_big
 
 
 def bench_e2e(results: dict, data_root: str) -> None:

@@ -57,6 +57,7 @@ def pipeline_apply(
     extra: Any = None,
     batch_axis: str | None = None,
     rng: jnp.ndarray | None = None,
+    remat: bool = False,
 ) -> jnp.ndarray:
     """Run ``x`` through the full stacked layer stack, pipelined over
     ``axis``.
@@ -79,6 +80,11 @@ def pipeline_apply(
         argument, folded from (global layer index, microbatch index) — every
         (layer, microbatch) pair gets an independent stream, identical
         regardless of pp size for a fixed (L, m).
+    remat: rematerialize each layer in the backward (jax.checkpoint around
+        layer_fn) — per-stage activation memory drops from
+        layers_per_stage x microbatches to ~1 layer's worth, at one extra
+        forward in the reverse schedule (the same memory<->FLOPs trade the
+        FE solvers' --remat makes in the nn.scan path).
 
     Output cost note: the result is returned by zeroing non-last stages and
     ``lax.psum`` over ``axis`` — every stage all-reduces the full
@@ -112,6 +118,8 @@ def pipeline_apply(
     per_stage = n_layers // pp
     use_rng = rng is not None
     rng_in = rng if use_rng else jnp.zeros((2,), jnp.uint32)
+    if remat:
+        layer_fn = jax.checkpoint(layer_fn)
 
     def stage_fn(local_params, x_all, extra_all, rng_key):
         d = lax.axis_index(axis)
@@ -181,6 +189,7 @@ def scanned_layer_pipeline(
     batch_axis: str | None = None,
     deterministic: bool = True,
     rng: jnp.ndarray | None = None,
+    remat: bool = False,
 ) -> jnp.ndarray:
     """Pipelined forward of a scanned encoder layer stack with the
     ``(hidden, key_padding_mask, deterministic)`` call signature — the
@@ -202,7 +211,7 @@ def scanned_layer_pipeline(
         return pipeline_apply(
             stacked_params, hidden, layer_fn, mesh,
             microbatches=microbatches, extra=key_padding_mask,
-            batch_axis=batch_axis, rng=rng,
+            batch_axis=batch_axis, rng=rng, remat=remat,
         )
 
     def layer_fn(p, h, m):
@@ -211,6 +220,7 @@ def scanned_layer_pipeline(
     return pipeline_apply(
         stacked_params, hidden, layer_fn, mesh,
         microbatches=microbatches, extra=key_padding_mask, batch_axis=batch_axis,
+        remat=remat,
     )
 
 

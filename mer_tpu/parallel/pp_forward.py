@@ -50,6 +50,7 @@ def roberta_hidden_pp(
     rng: jnp.ndarray | None = None,
     microbatches: int | None = None,
     batch_axis: str | None = "dp",
+    remat: bool = False,
 ) -> jnp.ndarray:
     """RobertaModel.__call__ (models/roberta.py:128-162) with the layer
     stack pipelined.  ``params`` is the RobertaModel subtree (scan layout:
@@ -81,7 +82,7 @@ def roberta_hidden_pp(
         params["layers_scan"]["layer"],
         hidden, key_padding_mask, mesh,
         microbatches=microbatches, batch_axis=batch_axis,
-        deterministic=deterministic, rng=rng_stack,
+        deterministic=deterministic, rng=rng_stack, remat=remat,
     )
 
 
@@ -97,6 +98,7 @@ def text_erc_logits_pp(
     rng: jnp.ndarray | None = None,
     microbatches: int | None = None,
     batch_axis: str | None = "dp",
+    remat: bool = False,
 ) -> jnp.ndarray:
     """TextERC.__call__ (models/roberta.py:200-202) pipelined over pp."""
     from mer_tpu.models.roberta import RobertaClassificationHead
@@ -108,7 +110,7 @@ def text_erc_logits_pp(
     hidden = roberta_hidden_pp(
         params["roberta"], cfg, mesh, input_ids, attention_mask,
         dtype=dtype, deterministic=deterministic, rng=rng_body,
-        microbatches=microbatches, batch_axis=batch_axis,
+        microbatches=microbatches, batch_axis=batch_axis, remat=remat,
     )
     head = RobertaClassificationHead(cfg, dtype=dtype)
     kwargs = {} if rng_head is None else {"rngs": {"dropout": rng_head}}
@@ -131,6 +133,7 @@ def wav2vec2_hidden_pp(
     rng: jnp.ndarray | None = None,
     microbatches: int | None = None,
     batch_axis: str | None = "dp",
+    remat: bool = False,
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
     """Wav2Vec2Model.__call__ (models/wav2vec2.py) with the encoder stack
     pipelined; returns (hidden, out_lengths)."""
@@ -170,7 +173,7 @@ def wav2vec2_hidden_pp(
         params["layers_scan"]["layer"],
         x, key_padding_mask, mesh,
         microbatches=microbatches, batch_axis=batch_axis,
-        deterministic=deterministic, rng=rng_stack,
+        deterministic=deterministic, rng=rng_stack, remat=remat,
     )
     return x, out_lengths
 
@@ -187,12 +190,13 @@ def audio_erc_logits_pp(
     rng: jnp.ndarray | None = None,
     microbatches: int | None = None,
     batch_axis: str | None = "dp",
+    remat: bool = False,
 ) -> jnp.ndarray:
     """AudioERC.__call__ (models/wav2vec2.py) pipelined over pp."""
     hidden, out_lengths = wav2vec2_hidden_pp(
         params["wav2vec2"], cfg, mesh, waveforms, lengths,
         dtype=dtype, deterministic=deterministic, rng=rng,
-        microbatches=microbatches, batch_axis=batch_axis,
+        microbatches=microbatches, batch_axis=batch_axis, remat=remat,
     )
     # masked mean pooling (AudioERC.pool — parameterless restatement)
     t = hidden.shape[1]

@@ -91,17 +91,20 @@ def build_pp(args, model, kind: str):
         raise ValueError(f"--pp {pp} does not divide the {n} available devices")
     mesh = make_pp_mesh(pp=pp, dp=n // pp)
     mb = getattr(args, "pp_microbatches", None)
+    remat = bool(getattr(args, "remat", False))  # --remat composes with --pp
     cfg, dtype = model.cfg, model.dtype
     if kind == "text":
         def fn(params, input_ids, attention_mask, *, deterministic, rng):
             return text_erc_logits_pp(
                 params, cfg, mesh, input_ids, attention_mask, dtype=dtype,
-                deterministic=deterministic, rng=rng, microbatches=mb, batch_axis="dp")
+                deterministic=deterministic, rng=rng, microbatches=mb,
+                batch_axis="dp", remat=remat)
     elif kind == "wav2vec2":
         def fn(params, waveforms, lengths, *, deterministic, rng):
             return audio_erc_logits_pp(
                 params, cfg, mesh, waveforms, lengths, dtype=dtype,
-                deterministic=deterministic, rng=rng, microbatches=mb, batch_axis="dp")
+                deterministic=deterministic, rng=rng, microbatches=mb,
+                batch_axis="dp", remat=remat)
     else:
         raise ValueError(f"unknown pp kind {kind!r}")
     print(f"Pipeline parallelism: pp={pp} dp={n // pp} "

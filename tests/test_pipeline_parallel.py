@@ -395,3 +395,77 @@ class TestFESolverPP:
             for b, a in zip(jax.tree.leaves(before), jax.tree.leaves(after))
         )
         assert changed
+
+    def test_wav2vec2_train_step_equality_vs_dp_only(self, tmp_path):
+        """Same contract for the audio backbone: FESolver pp train step ==
+        dp-only at equal global batch (dropout 0)."""
+        from mer_tpu.models.wav2vec2 import AudioERC, Wav2Vec2Config
+        from mer_tpu.parallel import audio_erc_logits_pp
+        from mer_tpu.train import FESolver
+
+        cfg = Wav2Vec2Config(
+            conv_dim=(16, 16, 16), conv_kernel=(10, 3, 2), conv_stride=(5, 2, 2),
+            hidden_size=32, num_hidden_layers=2, num_attention_heads=4,
+            intermediate_size=64, num_conv_pos_embeddings=16,
+            num_conv_pos_embedding_groups=4, hidden_dropout=0.0, attention_dropout=0.0,
+        )
+        model = AudioERC(cfg, scan_layers=True)
+        rng = np.random.default_rng(3)
+        batch = {
+            "waveforms": (rng.normal(size=(8, 400)) * 0.1).astype(np.float32),
+            "lengths": rng.integers(200, 400, size=(8,)).astype(np.int32),
+            "emotion": rng.integers(0, 7, size=(8,)).astype(np.int32),
+        }
+        config = self._fe_config(tmp_path)
+        inputs_fn = lambda b: (b["waveforms"], b["lengths"])
+
+        solver0 = FESolver(model, config, backbone_key="wav2vec2",
+                           batch_to_inputs=inputs_fn, seed=0)
+        state0 = solver0.init_state(batch, steps_per_epoch=2)
+
+        mesh = make_pp_mesh(pp=2, dp=4)
+
+        def pp_fn(params, w, l, *, deterministic, rng):
+            return audio_erc_logits_pp(
+                params, cfg, mesh, w, l,
+                deterministic=deterministic, rng=rng, batch_axis="dp")
+
+        solver1 = FESolver(model, config, backbone_key="wav2vec2",
+                           batch_to_inputs=inputs_fn, seed=0,
+                           mesh=mesh, pp_logits_fn=pp_fn)
+        state1 = solver1.init_state(batch, steps_per_epoch=2)
+
+        dev = jax.tree.map(jnp.asarray, batch)
+        key = jax.random.PRNGKey(0)
+        for _ in range(2):
+            state0, l0 = solver0._step_finetune(state0, dev, key)
+            state1, l1 = solver1._step_finetune(state1, dev, key)
+            np.testing.assert_allclose(float(l0), float(l1), rtol=1e-5)
+        out0 = model.apply({"params": state0["params"]}, dev["waveforms"],
+                           dev["lengths"], deterministic=True)
+        out1 = model.apply({"params": state1["params"]}, dev["waveforms"],
+                           dev["lengths"], deterministic=True)
+        np.testing.assert_allclose(np.asarray(out0), np.asarray(out1), rtol=5e-5, atol=5e-5)
+
+    def test_remat_grad_equality(self):
+        """remat=True through the pipelined stack: identical gradients, one
+        extra forward in the reverse schedule (memory<->FLOPs only)."""
+        from mer_tpu.parallel import text_erc_logits_pp
+
+        cfg, model, batch = self._text_setup()
+        ids, mask = jnp.asarray(batch["text"]), jnp.asarray(batch["attention_mask"])
+        params = model.init(jax.random.PRNGKey(0), ids, mask)["params"]
+        mesh = make_pp_mesh(pp=2, dp=4)
+
+        def loss(p, remat):
+            out = text_erc_logits_pp(p, cfg, mesh, ids, mask, remat=remat)
+            return jnp.mean(out ** 2)
+
+        g0 = jax.jit(jax.grad(lambda p: loss(p, False)))(params)
+        g1 = jax.jit(jax.grad(lambda p: loss(p, True)))(params)
+        for (k0, l0), (k1, l1) in zip(
+            jax.tree_util.tree_leaves_with_path(g0),
+            jax.tree_util.tree_leaves_with_path(g1),
+        ):
+            np.testing.assert_allclose(
+                np.asarray(l0), np.asarray(l1), rtol=1e-5, atol=1e-6, err_msg=str(k0))
