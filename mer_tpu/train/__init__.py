@@ -1,4 +1,7 @@
-from mer_tpu.train.checkpoint import AsyncCheckpointer, load_checkpoint, restore_into, save_checkpoint
+from mer_tpu.train.checkpoint import (
+    AsyncCheckpointer, load_checkpoint, load_checkpoint_sharded, restore_into,
+    save_checkpoint, save_checkpoint_sharded,
+)
 from mer_tpu.train.fe_solver import FESolver
 from mer_tpu.train.mel_solver import MelSolver
 from mer_tpu.train.solver import (
@@ -22,6 +25,8 @@ __all__ = [
     "constant_with_warmup",
     "optimizer_from_config",
     "save_checkpoint",
+    "save_checkpoint_sharded",
+    "load_checkpoint_sharded",
     "AsyncCheckpointer",
     "load_checkpoint",
     "restore_into",

@@ -105,6 +105,22 @@ def main() -> None:
     )
     grad_checksum = float(jnp.sum(grad * jnp.arange(16)))
 
+    # 4. distributed checkpoint: each process writes ONLY its addressable
+    # shards of the global dp-sharded array (no collectives, no host gather
+    # of non-addressable data); the parent merges both files and compares
+    # against the full global table.
+    from mer_tpu.train import save_checkpoint_sharded
+
+    ckpt_dir = os.path.join(os.path.dirname(out_path), "sharded_ckpt")
+    os.makedirs(ckpt_dir, exist_ok=True)
+    save_checkpoint_sharded(
+        ckpt_dir, epoch=5,
+        params={"table": global_arr, "w": jax.device_put(w, NamedSharding(mesh, P()))},
+        extra={"note": "mp"},
+    )
+    # barrier so the parent only checks after BOTH files exist
+    multihost_utils.sync_global_devices("ckpt_written")
+
     with open(out_path, "w") as f:
         json.dump(
             {

@@ -68,3 +68,14 @@ def test_two_process_distributed(tmp_path):
     # both processes computed the IDENTICAL replicated gradient
     assert results[0]["grad_checksum"] == results[1]["grad_checksum"]
     np.testing.assert_allclose(results[0]["global_loss"], results[1]["global_loss"], rtol=0)
+
+    # distributed checkpoint: two per-process shard files merge into the
+    # exact global table (each worker wrote only its addressable half)
+    from mer_tpu.train import load_checkpoint_sharded
+
+    ckpt = load_checkpoint_sharded(str(tmp_path / "sharded_ckpt"))
+    assert ckpt["epoch"] == 5 and ckpt["extra"]["note"] == "mp"
+    rng = np.random.default_rng(7)
+    global_rows = rng.normal(size=(8 * 3, 16)).astype(np.float32)  # worker's seed/shape
+    np.testing.assert_array_equal(np.asarray(ckpt["params"]["table"]), global_rows)
+    np.testing.assert_array_equal(np.asarray(ckpt["params"]["w"]), np.ones((16,), np.float32))
