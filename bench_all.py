@@ -263,6 +263,59 @@ def bench_fusion_int8(results: dict) -> None:
     results["fusion_inference_int8_utt_per_s"] = round(n_utt / min(times), 1)
 
 
+def bench_online_serving(results: dict) -> None:
+    """Online dynamic micro-batching (serving/online.py): sustained
+    dialogues/s and request-latency percentiles when single-dialogue
+    requests arrive concurrently — the production-serving counterpart of
+    the offline scan rows (reference has only the offline loop,
+    src/test.py:51-74)."""
+    import jax
+    import jax.numpy as jnp
+
+    from mer_tpu.models import M2FNet
+    from mer_tpu.serving import OnlineServer
+
+    model = M2FNet(dtype=jnp.bfloat16, scan_layers=True)
+    rng = np.random.default_rng(0)
+    d = 768
+    text0 = jnp.zeros((1, 16, d))
+    params = model.init(jax.random.PRNGKey(0), text0, text0, jnp.zeros((1, 16), bool))["params"]
+    params = jax.device_put(jax.tree.map(lambda x: x.astype(jnp.bfloat16), params))
+
+    @jax.jit
+    def predict(p, text, audio, mask):
+        return jnp.argmax(model.apply({"params": p}, text, audio, mask, deterministic=True), -1)
+
+    def predict_np(t, a, m):
+        return np.asarray(predict(params, t, a, m))
+
+    reqs = []
+    for _ in range(512):
+        u = int(rng.integers(3, 17))
+        reqs.append((rng.normal(size=(u, d)).astype(np.float32),
+                     rng.normal(size=(u, d)).astype(np.float32)))
+
+    # warm the (batch-bucket, length-bucket) programs
+    with OnlineServer(predict_np, max_batch=64, max_wait_ms=2.0) as w:
+        [f.result(timeout=600) for f in [w.submit(t, a) for t, a in reqs[:64]]]
+
+    server = OnlineServer(predict_np, max_batch=64, max_wait_ms=2.0)
+    try:
+        t0 = time.perf_counter()
+        futures = [server.submit(t, a) for t, a in reqs]
+        for f in futures:
+            f.result(timeout=600)
+        dt = time.perf_counter() - t0
+        stats = server.stats.snapshot()
+    finally:
+        server.close()
+    results["online_serving_dialogues_per_s"] = round(len(reqs) / dt, 1)
+    results["online_serving_latency_ms_p50"] = round(stats["latency_ms_p50"], 2)
+    results["online_serving_latency_ms_p99"] = round(stats["latency_ms_p99"], 2)
+    results["online_serving_mean_batch"] = round(stats["mean_batch_size"], 1)
+    results["online_serving_occupancy"] = round(stats["occupancy"], 3)
+
+
 def bench_fe_export_int8(results: dict) -> None:
     """Stage-1 embedding export: bf16 Flax backbone vs the int8 serving
     engine (serving/encoders.py) on device-resident batches — RoBERTa-base
@@ -765,6 +818,7 @@ def main():
     fusion_roofline(results)
     bench_fusion_latency(results)
     bench_fusion_int8(results)
+    bench_online_serving(results)
     bench_fe_export_int8(results)
     bench_fe_train(results)
     bench_mel_pipeline(results, data_root)

@@ -5,6 +5,7 @@ from mer_tpu.serving.encoders import (
     quantize_wav2vec2,
 )
 from mer_tpu.serving.offline import ScanPredictor, recollate_batches, split_recollated
+from mer_tpu.serving.online import OnlineServer, ServerStats
 from mer_tpu.serving.quant import (
     M2FNetInt8,
     apply_calibration,
@@ -17,6 +18,8 @@ from mer_tpu.serving.quant import (
 )
 
 __all__ = [
+    "OnlineServer",
+    "ServerStats",
     "M2FNetInt8",
     "RobertaInt8",
     "ScanPredictor",

@@ -1,0 +1,121 @@
+"""OnlineServer (serving/online.py): dynamic micro-batching correctness —
+per-request predictions equal the direct model forward regardless of how
+requests were batched; latency budget and shape-bucket reuse behave."""
+
+import threading
+import time
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from mer_tpu.models import M2FNet
+from mer_tpu.serving import OnlineServer
+
+D = 32
+
+
+def _small_model():
+    model = M2FNet(
+        d_model_audio=D, d_model_text=D, d_model_fam=D,
+        n_head_audio=4, n_head_text=4, n_head_fam=4,
+        n_layers_audio=2, n_layers_text=2, n_layers_fam=2,
+        hidden_size_classifier=D, scan_layers=True,
+    )
+    text = jnp.zeros((2, 4, D))
+    params = model.init(jax.random.PRNGKey(0), text, text, jnp.zeros((2, 4), bool))["params"]
+
+    @jax.jit
+    def predict(p, text, audio, mask):
+        return jnp.argmax(model.apply({"params": p}, text, audio, mask, deterministic=True), -1)
+
+    return model, params, predict
+
+
+def _requests(n, rng):
+    out = []
+    for _ in range(n):
+        u = int(rng.integers(1, 9))
+        out.append((rng.normal(size=(u, D)).astype(np.float32),
+                    rng.normal(size=(u, D)).astype(np.float32)))
+    return out
+
+
+class TestOnlineServer:
+    def test_predictions_match_direct_forward(self):
+        model, params, predict = _small_model()
+        rng = np.random.default_rng(0)
+        reqs = _requests(20, rng)
+
+        with OnlineServer(lambda t, a, m: predict(params, t, a, m),
+                          max_batch=8, max_wait_ms=20.0,
+                          length_buckets=(4, 8, 16)) as server:
+            futures = [server.submit(t, a) for t, a in reqs]
+            got = [f.result(timeout=60) for f in futures]
+
+        for (t, a), pred in zip(reqs, got):
+            u = t.shape[0]
+            # direct forward at the request's own padded shape
+            tb = np.zeros((1, 8, D), np.float32); tb[0, :u] = t
+            ab = np.zeros((1, 8, D), np.float32); ab[0, :u] = a
+            mb = np.ones((1, 8), bool); mb[0, :u] = False
+            ref = np.asarray(predict(params, tb, ab, mb))[0, :u]
+            np.testing.assert_array_equal(np.asarray(pred), ref)
+
+    def test_batches_form_under_load(self):
+        model, params, predict = _small_model()
+        rng = np.random.default_rng(1)
+        reqs = _requests(32, rng)
+        server = OnlineServer(lambda t, a, m: predict(params, t, a, m),
+                              max_batch=16, max_wait_ms=50.0,
+                              length_buckets=(8,))
+        try:
+            futures = [server.submit(t, a) for t, a in reqs]
+            for f in futures:
+                f.result(timeout=60)
+            stats = server.stats.snapshot()
+        finally:
+            server.close()
+        assert stats["requests"] == 32
+        # concurrent submits must coalesce: far fewer batches than requests
+        assert stats["batches"] < 32
+        assert stats["mean_batch_size"] > 1.0
+        assert 0 < stats["occupancy"] <= 1.0
+        assert stats["latency_ms_p99"] >= stats["latency_ms_p50"] > 0
+
+    def test_latency_budget_ships_partial_batch(self):
+        model, params, predict = _small_model()
+        rng = np.random.default_rng(2)
+        (t, a), = _requests(1, rng)
+        with OnlineServer(lambda tt, aa, m: predict(params, tt, aa, m),
+                          max_batch=64, max_wait_ms=10.0,
+                          length_buckets=(8,)) as server:
+            t0 = time.perf_counter()
+            f = server.submit(t, a)
+            f.result(timeout=60)  # a lone request must not wait for 63 peers
+            # generous bound: budget 10 ms + one small forward + CI slack
+            assert time.perf_counter() - t0 < 30.0
+
+    def test_predict_error_fails_futures_not_server(self):
+        calls = {"n": 0}
+
+        def flaky(t, a, m):
+            calls["n"] += 1
+            if calls["n"] == 1:
+                raise RuntimeError("boom")
+            return np.zeros(t.shape[:2], np.int32)
+
+        rng = np.random.default_rng(3)
+        with OnlineServer(flaky, max_batch=1, max_wait_ms=1.0,
+                          length_buckets=(8,)) as server:
+            (t, a), = _requests(1, rng)
+            f1 = server.submit(t, a)
+            try:
+                f1.result(timeout=60)
+                raised = False
+            except RuntimeError:
+                raised = True
+            assert raised
+            f2 = server.submit(t, a)  # server survives and keeps serving
+            assert f2.result(timeout=60).shape == (t.shape[0],)
