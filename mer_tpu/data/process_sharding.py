@@ -38,7 +38,18 @@ def resolve_process(process_index: int | None, process_count: int | None) -> tup
                 process_count = jax.process_count()
             if process_index is None:
                 process_index = jax.process_index()
-        except Exception:
+        except Exception as e:
+            # never degrade silently: on a real pod a transient backend error
+            # resolving to (0, 1) would make every host iterate the FULL
+            # global batch list (duplicated data, changed epoch semantics)
+            import sys
+
+            print(
+                f"[mer_tpu] WARNING: jax process query failed ({type(e).__name__}: {e}); "
+                "assuming single-process data layout (0, 1). Pass process_index/"
+                "process_count explicitly on multi-host runs.",
+                file=sys.stderr,
+            )
             process_count = 1 if process_count is None else process_count
             process_index = 0 if process_index is None else process_index
     process_index = int(process_index)

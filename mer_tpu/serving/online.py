@@ -52,30 +52,35 @@ class ServerStats:
     def __init__(self):
         self._lock = threading.Lock()
         self._latencies_ms: list[float] = []
-        self._batch_rows: list[int] = []
-        self._padded_rows: list[int] = []
+        self._batch_rows: list[int] = []      # dialogues per batch
+        self._real_cells: list[int] = []      # sum of true utterance counts
+        self._padded_cells: list[int] = []    # b_bucket * u_bucket
 
-    def record(self, latencies_ms: list[float], rows: int, padded_rows: int) -> None:
+    def record(self, latencies_ms: list[float], rows: int, real_cells: int, padded_cells: int) -> None:
         with self._lock:
             self._latencies_ms.extend(latencies_ms)
             self._batch_rows.append(rows)
-            self._padded_rows.append(padded_rows)
+            self._real_cells.append(real_cells)
+            self._padded_cells.append(padded_cells)
 
     def snapshot(self) -> dict:
         with self._lock:
             lat = np.asarray(self._latencies_ms, dtype=np.float64)
-            rows, padded = sum(self._batch_rows), sum(self._padded_rows)
+            n_batches = len(self._batch_rows)
+            rows = sum(self._batch_rows)
+            real, padded = sum(self._real_cells), sum(self._padded_cells)
         if lat.size == 0:
             return {"requests": 0}
         return {
             "requests": int(lat.size),
-            "batches": len(self._batch_rows),
+            "batches": n_batches,
             "latency_ms_p50": float(np.percentile(lat, 50)),
             "latency_ms_p99": float(np.percentile(lat, 99)),
             "latency_ms_max": float(lat.max()),
-            "mean_batch_size": rows / max(len(self._batch_rows), 1),
-            # fraction of padded compute doing real work (shape-bucket cost)
-            "occupancy": rows / max(padded, 1),
+            "mean_batch_size": rows / max(n_batches, 1),
+            # fraction of the padded [b_bucket, u_bucket] compute doing real
+            # work — counts BOTH batch-axis and utterance-length padding
+            "occupancy": real / max(padded, 1),
         }
 
 
@@ -110,6 +115,8 @@ class OnlineServer:
         self._queue: "queue.Queue[_Request | None]" = queue.Queue()
         self.stats = ServerStats()
         self._closed = False
+        self._close_lock = threading.Lock()  # orders submit() vs close()
+        self._d: int | None = None           # feature dim, fixed by first request
         self._worker = threading.Thread(target=self._loop, daemon=True)
         self._worker.start()
 
@@ -118,21 +125,32 @@ class OnlineServer:
     def submit(self, text: np.ndarray, audio: np.ndarray) -> Future:
         """One dialogue: [u, d] text + audio embedding rows -> Future of the
         [u] per-utterance predictions."""
-        if self._closed:
-            raise RuntimeError("server closed")
         text = np.asarray(text)
         audio = np.asarray(audio)
         if text.ndim != 2 or audio.shape != text.shape:
             raise ValueError(f"expected matching [u, d] rows, got {text.shape} vs {audio.shape}")
         req = _Request(text=text, audio=audio)
-        self._queue.put(req)
+        # closed-check and enqueue under one lock: a request can never land
+        # behind the shutdown sentinel (whose future would then never resolve)
+        with self._close_lock:
+            if self._closed:
+                raise RuntimeError("server closed")
+            if self._d is None:
+                self._d = int(text.shape[1])
+            elif text.shape[1] != self._d:
+                raise ValueError(
+                    f"feature dim {text.shape[1]} != server's established {self._d} "
+                    "(mixed embedding widths would be silently truncated)")
+            self._queue.put(req)
         return req.future
 
     def close(self) -> None:
-        if not self._closed:
+        with self._close_lock:
+            if self._closed:
+                return
             self._closed = True
             self._queue.put(None)  # sentinel unblocks the collector
-            self._worker.join()
+        self._worker.join()
 
     def __enter__(self):
         return self
@@ -152,10 +170,12 @@ class OnlineServer:
         deadline = first.t_submit + self._max_wait_s
         while len(batch) < self._max_batch:
             remaining = deadline - time.perf_counter()
-            if remaining <= 0:
-                break
             try:
-                nxt = self._queue.get(timeout=remaining)
+                # past the deadline, still DRAIN whatever is already queued
+                # (backlog regime: while a batch runs, every waiter ages past
+                # the budget — without this the server degenerates to b=1)
+                nxt = self._queue.get(timeout=max(remaining, 0.0)) if remaining > 0 \
+                    else self._queue.get_nowait()
             except queue.Empty:
                 break
             if nxt is None:
@@ -171,24 +191,36 @@ class OnlineServer:
         text = np.zeros((b, u, d), np.float32)
         audio = np.zeros((b, u, d), np.float32)
         mask = np.ones((b, u), bool)  # True = padding (torch convention)
+        real = 0
         for i, r in enumerate(batch):
             n = r.text.shape[0]
-            text[i, :n] = r.text[:, :d]
-            audio[i, :n] = r.audio[:, :d]
+            text[i, :n] = r.text
+            audio[i, :n] = r.audio
             mask[i, :n] = False
+            real += n
+        # batch-bucket filler rows keep one attendable key so their softmax
+        # stays finite (same guard as the offline collate, data/fusion.py)
+        mask[len(batch):, 0] = False
         preds = np.asarray(self._predict(text, audio, mask))
         done = time.perf_counter()
         lat = []
         for i, r in enumerate(batch):
             r.future.set_result(preds[i, : r.text.shape[0]])
             lat.append((done - r.t_submit) * 1e3)
-        self.stats.record(lat, rows=len(batch), padded_rows=b)
+        self.stats.record(lat, rows=len(batch), real_cells=real, padded_cells=b * u)
 
     def _loop(self) -> None:
         while True:
             batch = self._collect()
             if batch is None:
-                return
+                # shutdown: fail anything that slipped in around the sentinel
+                while True:
+                    try:
+                        leftover = self._queue.get_nowait()
+                    except queue.Empty:
+                        return
+                    if leftover is not None and not leftover.future.done():
+                        leftover.future.set_exception(RuntimeError("server closed"))
             try:
                 self._run_batch(batch)
             except BaseException as e:  # fail the waiters, keep serving

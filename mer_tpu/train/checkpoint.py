@@ -130,6 +130,10 @@ def _shardify(tree: Any, process_index: int) -> Any:
                 key = _spec_key(s.index, shape)
                 if key not in shards:
                     shards[key] = np.asarray(s.data)
+            if not shards:
+                # an array placed on a sub-mesh this process has no devices
+                # in: nothing addressable here — other processes cover it
+                return {_LEAF: 1, "kind": "elsewhere"}
             return {_LEAF: 1, "kind": "sharded", "shape": list(shape),
                     "dtype": str(np.asarray(next(iter(shards.values()))).dtype),
                     "shards": shards}

@@ -119,3 +119,77 @@ class TestOnlineServer:
             assert raised
             f2 = server.submit(t, a)  # server survives and keeps serving
             assert f2.result(timeout=60).shape == (t.shape[0],)
+
+    def test_backlog_still_coalesces(self):
+        """Overload regime: while a batch runs, every waiter ages past the
+        latency budget — the collector must still drain ready requests into
+        full batches instead of degenerating to batch-size 1."""
+        import threading as _t
+
+        seen_sizes = []
+        lock = _t.Lock()
+
+        def slow_predict(t, a, m):
+            with lock:
+                seen_sizes.append(t.shape[0])
+            time.sleep(0.02)  # every queued request exceeds max_wait_ms=1
+            return np.zeros(t.shape[:2], np.int32)
+
+        rng = np.random.default_rng(4)
+        reqs = _requests(48, rng)
+        with OnlineServer(slow_predict, max_batch=16, max_wait_ms=1.0,
+                          length_buckets=(8,)) as server:
+            futures = [server.submit(t, a) for t, a in reqs]
+            for f in futures:
+                f.result(timeout=60)
+        # after the first (possibly small) batch, the backlog must coalesce
+        assert max(seen_sizes) > 1, seen_sizes
+        assert len(seen_sizes) < 48, seen_sizes
+
+    def test_mixed_feature_dim_rejected(self):
+        def predict(t, a, m):
+            return np.zeros(t.shape[:2], np.int32)
+
+        rng = np.random.default_rng(5)
+        with OnlineServer(predict, max_batch=4, max_wait_ms=5.0,
+                          length_buckets=(8,)) as server:
+            server.submit(rng.normal(size=(3, D)).astype(np.float32),
+                          rng.normal(size=(3, D)).astype(np.float32))
+            import pytest as _pytest
+
+            with _pytest.raises(ValueError, match="feature dim"):
+                server.submit(rng.normal(size=(3, D * 2)).astype(np.float32),
+                              rng.normal(size=(3, D * 2)).astype(np.float32))
+
+    def test_occupancy_counts_length_padding(self):
+        def predict(t, a, m):
+            return np.zeros(t.shape[:2], np.int32)
+
+        rng = np.random.default_rng(6)
+        with OnlineServer(predict, max_batch=1, max_wait_ms=1.0,
+                          length_buckets=(8,)) as server:
+            f = server.submit(rng.normal(size=(2, D)).astype(np.float32),
+                              rng.normal(size=(2, D)).astype(np.float32))
+            f.result(timeout=60)
+            stats = server.stats.snapshot()
+        # 2 real utterances in a [1, 8] padded program
+        np.testing.assert_allclose(stats["occupancy"], 2 / 8)
+
+    def test_filler_rows_keep_attendable_key(self):
+        """Batch-bucket filler rows must not produce all-padding masks (the
+        offline collate's softmax guard, data/fusion.py)."""
+        masks = []
+
+        def predict(t, a, m):
+            masks.append(np.asarray(m).copy())
+            return np.zeros(t.shape[:2], np.int32)
+
+        rng = np.random.default_rng(7)
+        reqs = _requests(3, rng)  # pads to batch bucket 4
+        with OnlineServer(predict, max_batch=4, max_wait_ms=50.0,
+                          length_buckets=(8,)) as server:
+            futures = [server.submit(t, a) for t, a in reqs]
+            for f in futures:
+                f.result(timeout=60)
+        for m in masks:
+            assert (~m).any(axis=1).all(), "some row has no attendable key"
