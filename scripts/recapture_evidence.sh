@@ -49,6 +49,7 @@ run_leg fe_text python src/feature_extractors/text/train.py --data-root /tmp/mel
 run_leg fe_w2v python src/feature_extractors/audio_wav2vec2/train.py --data-root /tmp/meldsyn --epochs 1 --random-init
 run_leg e2e python src/e2e_stream.py --data-root /tmp/meldsyn --toy-tokenizer
 run_leg e2e_mel python src/e2e_stream.py --data-root /tmp/meldsyn --toy-tokenizer --audio mel
+run_leg serve python src/serve.py --synthetic --requests 128
 run_leg graft python __graft_entry__.py
 
 echo "all legs attempted — check /tmp/evidence_*.log"
