@@ -123,6 +123,7 @@ class RobertaModel(nn.Module):
     dtype: jnp.dtype = jnp.float32
     scan_layers: bool = False
     remat: bool = False
+    remat_policy: str | None = None  # None/full | dots | dots_no_batch (utils/remat.py)
 
     @nn.compact
     def __call__(self, input_ids: jnp.ndarray, attention_mask: jnp.ndarray, deterministic: bool = True) -> jnp.ndarray:
@@ -142,7 +143,10 @@ class RobertaModel(nn.Module):
         if self.scan_layers:
             layer_cls = _ScanRobertaLayer
             if self.remat:
-                layer_cls = nn.remat(layer_cls, static_argnums=(3,))
+                from mer_tpu.utils.remat import resolve_remat_policy
+
+                layer_cls = nn.remat(layer_cls, static_argnums=(3,),
+                                     policy=resolve_remat_policy(self.remat_policy))
             scanned = nn.scan(
                 layer_cls,
                 variable_axes={"params": 0},
@@ -154,7 +158,10 @@ class RobertaModel(nn.Module):
         else:
             layer_cls = RobertaLayer
             if self.remat:
-                layer_cls = nn.remat(RobertaLayer, static_argnums=(3,))
+                from mer_tpu.utils.remat import resolve_remat_policy
+
+                layer_cls = nn.remat(RobertaLayer, static_argnums=(3,),
+                                     policy=resolve_remat_policy(self.remat_policy))
             for i in range(c.num_hidden_layers):
                 hidden = layer_cls(c, dtype=self.dtype, name=f"layer_{i}")(
                     hidden, key_padding_mask, deterministic
@@ -190,10 +197,12 @@ class TextERC(nn.Module):
     dtype: jnp.dtype = jnp.float32
     scan_layers: bool = False
     remat: bool = False  # rematerialize each layer in the backward (memory<->FLOPs)
+    remat_policy: str | None = None
 
     def setup(self):
         self.roberta = RobertaModel(
-            self.cfg, dtype=self.dtype, scan_layers=self.scan_layers, remat=self.remat
+            self.cfg, dtype=self.dtype, scan_layers=self.scan_layers, remat=self.remat,
+            remat_policy=self.remat_policy,
         )
         self.classifier_head = RobertaClassificationHead(self.cfg, dtype=self.dtype)
 

@@ -237,6 +237,7 @@ class Wav2Vec2Model(nn.Module):
     dtype: jnp.dtype = jnp.float32
     scan_layers: bool = False
     remat: bool = False
+    remat_policy: str | None = None  # None/full | dots | dots_no_batch (utils/remat.py)
 
     @nn.compact
     def __call__(self, waveforms: jnp.ndarray, lengths: jnp.ndarray, deterministic: bool = True):
@@ -262,7 +263,10 @@ class Wav2Vec2Model(nn.Module):
         if self.scan_layers:
             layer_cls = _ScanW2VLayer
             if self.remat:
-                layer_cls = nn.remat(layer_cls, static_argnums=(3,))
+                from mer_tpu.utils.remat import resolve_remat_policy
+
+                layer_cls = nn.remat(layer_cls, static_argnums=(3,),
+                                     policy=resolve_remat_policy(self.remat_policy))
             scanned = nn.scan(
                 layer_cls,
                 variable_axes={"params": 0},
@@ -274,7 +278,10 @@ class Wav2Vec2Model(nn.Module):
         else:
             layer_cls = Wav2Vec2EncoderLayer
             if self.remat:
-                layer_cls = nn.remat(Wav2Vec2EncoderLayer, static_argnums=(3,))
+                from mer_tpu.utils.remat import resolve_remat_policy
+
+                layer_cls = nn.remat(Wav2Vec2EncoderLayer, static_argnums=(3,),
+                                     policy=resolve_remat_policy(self.remat_policy))
             for i in range(c.num_hidden_layers):
                 x = layer_cls(c, dtype=self.dtype, name=f"layer_{i}")(
                     x, key_padding_mask, deterministic
@@ -290,10 +297,12 @@ class AudioERC(nn.Module):
     dtype: jnp.dtype = jnp.float32
     scan_layers: bool = False
     remat: bool = False  # rematerialize each layer in the backward (memory<->FLOPs)
+    remat_policy: str | None = None
 
     def setup(self):
         self.wav2vec2 = Wav2Vec2Model(
-            self.cfg, dtype=self.dtype, scan_layers=self.scan_layers, remat=self.remat
+            self.cfg, dtype=self.dtype, scan_layers=self.scan_layers, remat=self.remat,
+            remat_policy=self.remat_policy,
         )
         self.head_dense = nn.Dense(self.cfg.hidden_size, dtype=self.dtype)
         self.head_out = nn.Dense(self.cfg.num_labels, dtype=self.dtype)

@@ -57,7 +57,7 @@ def pipeline_apply(
     extra: Any = None,
     batch_axis: str | None = None,
     rng: jnp.ndarray | None = None,
-    remat: bool = False,
+    remat: bool | str = False,
 ) -> jnp.ndarray:
     """Run ``x`` through the full stacked layer stack, pipelined over
     ``axis``.
@@ -119,7 +119,14 @@ def pipeline_apply(
     use_rng = rng is not None
     rng_in = rng if use_rng else jnp.zeros((2,), jnp.uint32)
     if remat:
-        layer_fn = jax.checkpoint(layer_fn)
+        # remat=True -> recompute everything; remat="<policy>" -> selective
+        # (utils/remat.py: keep MXU outputs, recompute the elementwise chain)
+        if isinstance(remat, str):
+            from mer_tpu.utils.remat import resolve_remat_policy
+
+            layer_fn = jax.checkpoint(layer_fn, policy=resolve_remat_policy(remat))
+        else:
+            layer_fn = jax.checkpoint(layer_fn)
 
     def stage_fn(local_params, x_all, extra_all, rng_key):
         d = lax.axis_index(axis)
@@ -189,7 +196,7 @@ def scanned_layer_pipeline(
     batch_axis: str | None = None,
     deterministic: bool = True,
     rng: jnp.ndarray | None = None,
-    remat: bool = False,
+    remat: bool | str = False,
 ) -> jnp.ndarray:
     """Pipelined forward of a scanned encoder layer stack with the
     ``(hidden, key_padding_mask, deterministic)`` call signature — the

@@ -50,7 +50,7 @@ def roberta_hidden_pp(
     rng: jnp.ndarray | None = None,
     microbatches: int | None = None,
     batch_axis: str | None = "dp",
-    remat: bool = False,
+    remat: bool | str = False,
 ) -> jnp.ndarray:
     """RobertaModel.__call__ (models/roberta.py:128-162) with the layer
     stack pipelined.  ``params`` is the RobertaModel subtree (scan layout:
@@ -98,7 +98,7 @@ def text_erc_logits_pp(
     rng: jnp.ndarray | None = None,
     microbatches: int | None = None,
     batch_axis: str | None = "dp",
-    remat: bool = False,
+    remat: bool | str = False,
 ) -> jnp.ndarray:
     """TextERC.__call__ (models/roberta.py:200-202) pipelined over pp."""
     from mer_tpu.models.roberta import RobertaClassificationHead
@@ -133,7 +133,7 @@ def wav2vec2_hidden_pp(
     rng: jnp.ndarray | None = None,
     microbatches: int | None = None,
     batch_axis: str | None = "dp",
-    remat: bool = False,
+    remat: bool | str = False,
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
     """Wav2Vec2Model.__call__ (models/wav2vec2.py) with the encoder stack
     pipelined; returns (hidden, out_lengths)."""
@@ -190,7 +190,7 @@ def audio_erc_logits_pp(
     rng: jnp.ndarray | None = None,
     microbatches: int | None = None,
     batch_axis: str | None = "dp",
-    remat: bool = False,
+    remat: bool | str = False,
 ) -> jnp.ndarray:
     """AudioERC.__call__ (models/wav2vec2.py) pipelined over pp."""
     hidden, out_lengths = wav2vec2_hidden_pp(

@@ -47,6 +47,10 @@ def parse_args(argv=None, default_config: str | None = None):
                         "devices become dp. Requires scan_layers.")
     p.add_argument("--pp-microbatches", type=int, default=None,
                    help="microbatches per pipeline round (default: pp)")
+    p.add_argument("--remat-policy", default=None, choices=["full", "dots", "dots_no_batch"],
+                   help="with --remat: what the backward saves vs recomputes "
+                        "(utils/remat.py; 'dots*' keeps MXU outputs and "
+                        "recomputes only the elementwise chain)")
     p.add_argument("--remat", action="store_true",
                    help="text/wav2vec2 fine-tune: rematerialize each encoder "
                         "layer in the backward (activation memory ~1/L at the "
@@ -91,7 +95,12 @@ def build_pp(args, model, kind: str):
         raise ValueError(f"--pp {pp} does not divide the {n} available devices")
     mesh = make_pp_mesh(pp=pp, dp=n // pp)
     mb = getattr(args, "pp_microbatches", None)
-    remat = bool(getattr(args, "remat", False))  # --remat composes with --pp
+    # --remat composes with --pp; a named policy rides through as the remat
+    # value (pipeline_apply: bool = full recompute, str = selective policy)
+    remat = bool(getattr(args, "remat", False))
+    policy = getattr(args, "remat_policy", None)
+    if remat and policy and policy != "full":
+        remat = policy
     cfg, dtype = model.cfg, model.dtype
     if kind == "text":
         def fn(params, input_ids, attention_mask, *, deterministic, rng):
@@ -130,6 +139,7 @@ def load_text_model_and_tokenizer(args, variant: str | None = None, config=None)
     model = TextERC(
         cfg, dtype=resolve_compute_dtype(args, config),
         scan_layers=True, remat=bool(getattr(args, "remat", False)),
+        remat_policy=getattr(args, "remat_policy", None),
     )
 
     tokenizer = (
@@ -163,6 +173,7 @@ def load_wav2vec2_model(args, variant: str = "facebook/wav2vec2-base", config=No
     model = AudioERC(
         cfg, dtype=resolve_compute_dtype(args, config),
         scan_layers=True, remat=bool(getattr(args, "remat", False)),
+        remat_policy=getattr(args, "remat_policy", None),
     )
     pretrained_params = None
     if not args.random_init:

@@ -195,3 +195,69 @@ class TestRematEquivalence:
             lambda a, b: np.testing.assert_allclose(a, b, rtol=2e-3, atol=1e-5),
             grads[False][1], grads[True][1],
         )
+
+
+class TestRematPolicies:
+    """Selective remat policies (utils/remat.py) change what the backward
+    saves, never the numerics — grads equal across full/dots/dots_no_batch,
+    both in the nn.remat model path and through the pp pipeline."""
+
+    def test_roberta_policy_grads_equal(self):
+        from mer_tpu.models.roberta import RobertaConfig, TextERC
+
+        cfg = RobertaConfig(
+            vocab_size=300, hidden_size=32, num_hidden_layers=2, num_attention_heads=4,
+            intermediate_size=64, max_position_embeddings=40,
+        )
+        rng = np.random.default_rng(2)
+        ids = jnp.asarray(rng.integers(2, 300, size=(2, 9)).astype(np.int32))
+        mask = jnp.ones((2, 9), jnp.int32)
+
+        grads = {}
+        params = None
+        for policy in [None, "dots", "dots_no_batch"]:
+            model = TextERC(cfg, scan_layers=True, remat=True, remat_policy=policy)
+            if params is None:
+                params = model.init(jax.random.PRNGKey(0), ids, mask)["params"]
+            loss_fn = lambda p, m=model: jnp.mean(m.apply({"params": p}, ids, mask) ** 2)
+            grads[policy] = jax.jit(jax.grad(loss_fn))(params)
+        for policy in ["dots", "dots_no_batch"]:
+            jax.tree.map(
+                lambda a, b: np.testing.assert_allclose(a, b, rtol=2e-3, atol=1e-5),
+                grads[None], grads[policy],
+            )
+
+    def test_unknown_policy_rejected(self):
+        from mer_tpu.utils.remat import resolve_remat_policy
+
+        with pytest.raises(ValueError, match="unknown remat policy"):
+            resolve_remat_policy("everything")
+        assert resolve_remat_policy(None) is None
+        assert resolve_remat_policy("full") is None
+
+    def test_pipeline_policy_grads_equal(self):
+        from mer_tpu.parallel import make_pp_mesh, text_erc_logits_pp
+        from mer_tpu.models.roberta import RobertaConfig, TextERC
+
+        cfg = RobertaConfig(
+            vocab_size=64, hidden_size=32, num_hidden_layers=4,
+            num_attention_heads=4, intermediate_size=64,
+            max_position_embeddings=40, num_labels=7,
+        )
+        model = TextERC(cfg, scan_layers=True)
+        rng = np.random.default_rng(3)
+        ids = jnp.asarray(rng.integers(2, 64, size=(8, 10)).astype(np.int32))
+        mask = jnp.ones((8, 10), jnp.int32)
+        params = model.init(jax.random.PRNGKey(0), ids, mask)["params"]
+        mesh = make_pp_mesh(pp=2, dp=4)
+
+        def loss(p, remat):
+            return jnp.mean(text_erc_logits_pp(p, cfg, mesh, ids, mask, remat=remat) ** 2)
+
+        g_ref = jax.jit(jax.grad(lambda p: loss(p, False)))(params)
+        for remat in [True, "dots", "dots_no_batch"]:
+            g = jax.jit(jax.grad(lambda p: loss(p, remat)))(params)
+            jax.tree.map(
+                lambda a, b: np.testing.assert_allclose(a, b, rtol=2e-3, atol=1e-5),
+                g_ref, g,
+            )
