@@ -193,3 +193,33 @@ class TestOnlineServer:
                 f.result(timeout=60)
         for m in masks:
             assert (~m).any(axis=1).all(), "some row has no attendable key"
+
+    def test_int8_engine_through_server(self):
+        """The int8 serving engine (M2FNetInt8) composes with the online
+        server — per-request int8 predictions equal the direct int8 batch."""
+        import jax
+
+        from mer_tpu.serving import M2FNetInt8, quantize_m2fnet
+
+        model, params, _ = _small_model()
+        qp = jax.device_put(quantize_m2fnet(params))
+        server_engine = M2FNetInt8(model)
+
+        @jax.jit
+        def predict_int8(p, text, audio, mask):
+            return jnp.argmax(server_engine.apply(p, text, audio, mask), -1)
+
+        rng = np.random.default_rng(8)
+        reqs = _requests(6, rng)
+        with OnlineServer(lambda t, a, m: predict_int8(qp, t, a, m),
+                          max_batch=4, max_wait_ms=20.0,
+                          length_buckets=(8,)) as server:
+            futures = [server.submit(t, a) for t, a in reqs]
+            got = [f.result(timeout=60) for f in futures]
+        for (t, a), pred in zip(reqs, got):
+            u = t.shape[0]
+            tb = np.zeros((1, 8, D), np.float32); tb[0, :u] = t
+            ab = np.zeros((1, 8, D), np.float32); ab[0, :u] = a
+            mb = np.ones((1, 8), bool); mb[0, :u] = False
+            ref = np.asarray(predict_int8(qp, tb, ab, mb))[0, :u]
+            np.testing.assert_array_equal(np.asarray(pred), ref)
