@@ -1,6 +1,7 @@
 from mer_tpu.train.checkpoint import (
-    AsyncCheckpointer, load_checkpoint, load_checkpoint_sharded, restore_into,
-    save_checkpoint, save_checkpoint_sharded,
+    AsyncCheckpointer, load_checkpoint, load_checkpoint_auto,
+    load_checkpoint_sharded, remove_checkpoint, restore_into,
+    save_checkpoint, save_checkpoint_auto, save_checkpoint_sharded,
 )
 from mer_tpu.train.fe_solver import FESolver
 from mer_tpu.train.mel_solver import MelSolver
@@ -27,6 +28,9 @@ __all__ = [
     "save_checkpoint",
     "save_checkpoint_sharded",
     "load_checkpoint_sharded",
+    "load_checkpoint_auto",
+    "save_checkpoint_auto",
+    "remove_checkpoint",
     "AsyncCheckpointer",
     "load_checkpoint",
     "restore_into",

@@ -238,6 +238,37 @@ def load_checkpoint(path: str | os.PathLike) -> dict:
     return payload
 
 
+def save_checkpoint_auto(path, *, sharded: bool = False, epoch: int, params: Any,
+                         opt_state: Any = None, extra: dict | None = None) -> None:
+    """Dispatch: monolithic file (default) or per-process sharded directory
+    (``checkpoint.sharded: true`` in the solver configs — the multi-host
+    path where gathering the full state to one host is the wrong move)."""
+    if sharded:
+        save_checkpoint_sharded(path, epoch=epoch, params=params,
+                                opt_state=opt_state, extra=extra)
+    else:
+        save_checkpoint(path, epoch=epoch, params=params,
+                        opt_state=opt_state, extra=extra)
+
+
+def load_checkpoint_auto(path: str | os.PathLike) -> dict:
+    """Load either layout: a sharded checkpoint DIRECTORY or a monolithic
+    msgpack file — both return the same payload dict."""
+    if os.path.isdir(path):
+        return load_checkpoint_sharded(path)
+    return load_checkpoint(path)
+
+
+def remove_checkpoint(path: str | os.PathLike) -> None:
+    """Delete either layout (file or sharded directory)."""
+    import shutil
+
+    if os.path.isdir(path):
+        shutil.rmtree(path)
+    elif os.path.exists(path):
+        os.remove(path)
+
+
 def restore_into(template: Any, restored: Any) -> Any:
     """Map a restored (dict-of-dicts numpy) tree onto a template pytree
     (params dict or optax state tuple), validating structure and shapes."""

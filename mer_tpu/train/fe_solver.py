@@ -36,7 +36,9 @@ from mer_tpu.data.prefetch import prefetch
 from mer_tpu.objectives.classification import cross_entropy
 from mer_tpu.objectives.metrics import BatchAveragedMetrics
 from mer_tpu.parallel.mesh import batch_sharding, replicated
-from mer_tpu.train.checkpoint import load_checkpoint, restore_into, save_checkpoint
+from mer_tpu.train.checkpoint import (
+    load_checkpoint_auto, remove_checkpoint, restore_into, save_checkpoint_auto,
+)
 from mer_tpu.train.solver import constant_with_warmup, torch_adamw
 from mer_tpu.utils.logging import RunLogger
 
@@ -289,7 +291,9 @@ class FESolver:
         patience = int(cfg.solver.early_stopping.patience)
         restore_best = bool(cfg.solver.early_stopping.restore_best_weights)
         save_path = os.path.abspath(str(cfg.checkpoint.save_path))
-        best_path = os.path.join(os.path.dirname(save_path), "best_weights.ckpt")
+        sharded = bool(cfg.checkpoint.get("sharded", False))  # per-process shard dirs
+        best_path = os.path.join(os.path.dirname(save_path),
+                                 "best_weights.sharded" if sharded else "best_weights.ckpt")
         save_ckpt = bool(cfg.checkpoint.get("save_checkpoint", True))
 
         if state is None:
@@ -311,7 +315,7 @@ class FESolver:
 
             if save_ckpt:
                 # FE checkpoints store model params only (text/train.py:165-169)
-                save_checkpoint(save_path, epoch=epoch, params=state["params"])
+                save_checkpoint_auto(save_path, sharded=sharded, epoch=epoch, params=state["params"])
 
             is_frozen = epoch < self.num_frozen_epochs
             # the schedule horizon is denominated in optimizer UPDATES; with
@@ -330,17 +334,17 @@ class FESolver:
                     min_loss_val = loss_val
                     patience_counter = 0
                     if restore_best:
-                        save_checkpoint(best_path, epoch=epoch, params=state["params"])
+                        save_checkpoint_auto(best_path, sharded=sharded, epoch=epoch, params=state["params"])
                 else:
                     patience_counter += 1
                     if patience_counter >= patience:
                         self.logger.print(f"Early stopping: patience {patience} reached")
                         if restore_best and os.path.exists(best_path):
-                            best = load_checkpoint(best_path)
+                            best = load_checkpoint_auto(best_path)
                             state["params"] = restore_into(state["params"], best["params"])
                             if save_ckpt:
-                                save_checkpoint(save_path, epoch=best["epoch"], params=state["params"])
-                            os.remove(best_path)
+                                save_checkpoint_auto(save_path, sharded=sharded, epoch=best["epoch"], params=state["params"])
+                            remove_checkpoint(best_path)
                             self.logger.print(f"Best model at epoch {best['epoch']} restored")
                         break
 

@@ -36,7 +36,10 @@ from mer_tpu.data.prefetch import prefetch
 from mer_tpu.objectives.classification import cross_entropy
 from mer_tpu.objectives.metrics import BatchAveragedMetrics
 from mer_tpu.parallel.mesh import batch_sharding, shard_params
-from mer_tpu.train.checkpoint import AsyncCheckpointer, load_checkpoint, restore_into, save_checkpoint
+from mer_tpu.train.checkpoint import (
+    AsyncCheckpointer, load_checkpoint_auto, remove_checkpoint, restore_into,
+    save_checkpoint_auto,
+)
 from mer_tpu.utils.logging import RunLogger
 
 
@@ -314,8 +317,13 @@ class Solver:
 
         ckpt_cfg = cfg.checkpoint
         save_ckpt = bool(ckpt_cfg.get("save_checkpoint", False))
+        # checkpoint.sharded: per-process shard files under a DIRECTORY at
+        # save_path (multi-host — no host gather); async writes are bypassed
+        # there (every process writes only its own small addressable slice)
+        sharded = bool(ckpt_cfg.get("sharded", False))
         save_path = os.path.abspath(str(ckpt_cfg.get("save_path", "checkpoints/model.ckpt")))
-        best_path = os.path.join(os.path.dirname(save_path), "best_weights.ckpt")
+        best_path = os.path.join(os.path.dirname(save_path),
+                                 "best_weights.sharded" if sharded else "best_weights.ckpt")
 
         example = next(iter(train_batcher))
         if state is None:
@@ -330,7 +338,7 @@ class Solver:
         # resume (reference src/train.py:86-93)
         load_path = os.path.abspath(str(ckpt_cfg.get("load_path", save_path)))
         if bool(ckpt_cfg.get("load_checkpoint", False)) and os.path.exists(load_path):
-            restored = load_checkpoint(load_path)
+            restored = load_checkpoint_auto(load_path)
             state = state.replace(
                 params=restore_into(state.params, restored["params"]),
                 opt_state=restore_into(state.opt_state, restored["opt_state"]),
@@ -344,7 +352,17 @@ class Solver:
         rng = jax.random.PRNGKey(self.seed + 1)
         history: dict[str, list] = {"loss_values": [], "val_loss_values": []}
         # background checkpoint writes (multi-GB at full size) never stall epochs
-        ckpt_writer = AsyncCheckpointer() if bool(cfg.get_path("tpu.async_checkpoint", True)) else None
+        ckpt_writer = (
+            AsyncCheckpointer()
+            if bool(cfg.get_path("tpu.async_checkpoint", True)) and not sharded
+            else None
+        )
+
+        def _save(path, **kw):
+            if ckpt_writer is not None:
+                ckpt_writer.save(path, **kw)
+            else:
+                save_checkpoint_auto(path, sharded=sharded, **kw)
 
         for epoch in range(start_epoch, epochs):
             t0 = time.perf_counter()
@@ -362,10 +380,7 @@ class Solver:
                 }
 
             if save_ckpt:
-                if ckpt_writer is not None:
-                    ckpt_writer.save(save_path, epoch=epoch, params=state.params, opt_state=state.opt_state, extra=_extra())
-                else:
-                    save_checkpoint(save_path, epoch=epoch, params=state.params, opt_state=state.opt_state, extra=_extra())
+                _save(save_path, epoch=epoch, params=state.params, opt_state=state.opt_state, extra=_extra())
 
             # schedule counts optimizer updates; state.step counts micro-steps
             accum = int(self.config.get_path("solver.grad_accum_steps", 1) or 1)
@@ -382,10 +397,7 @@ class Solver:
                     min_loss_val = loss_val
                     patience_counter = 0
                     if restore_best:
-                        if ckpt_writer is not None:
-                            ckpt_writer.save(best_path, epoch=epoch, params=state.params, opt_state=state.opt_state, extra=_extra())
-                        else:
-                            save_checkpoint(best_path, epoch=epoch, params=state.params, opt_state=state.opt_state, extra=_extra())
+                        _save(best_path, epoch=epoch, params=state.params, opt_state=state.opt_state, extra=_extra())
                 else:
                     patience_counter += 1
                     if patience_counter >= patience:
@@ -393,14 +405,15 @@ class Solver:
                         if ckpt_writer is not None:
                             ckpt_writer.wait()  # best_path must be fully on disk
                         if restore_best and os.path.exists(best_path):
-                            best = load_checkpoint(best_path)
+                            best = load_checkpoint_auto(best_path)
                             state = state.replace(params=restore_into(state.params, best["params"]))
                             if save_ckpt:
-                                save_checkpoint(
-                                    save_path, epoch=best["epoch"], params=state.params,
+                                save_checkpoint_auto(
+                                    save_path, sharded=sharded, epoch=best["epoch"],
+                                    params=state.params,
                                     opt_state=state.opt_state, extra=_extra(),
                                 )
-                            os.remove(best_path)
+                            remove_checkpoint(best_path)
                             self.logger.print(f"Best model at epoch {best['epoch']} restored")
                         break
 

@@ -26,13 +26,13 @@ from mer_tpu.models.m2fnet import M2FNet
 from mer_tpu.models.roberta import RobertaConfig, TextERC
 from mer_tpu.models.wav2vec2 import AudioERC, Wav2Vec2Config
 from mer_tpu.pipelines import E2EModels, StreamingPipeline, mixed_utterance_batches
-from mer_tpu.train import load_checkpoint
+from mer_tpu.train import load_checkpoint_auto
 from mer_tpu.train.checkpoint import restore_into
 
 
 def _maybe_load(params, path, subtree=None):
     if path and os.path.exists(path):
-        restored = load_checkpoint(path)["params"]
+        restored = load_checkpoint_auto(path)["params"]
         if subtree:
             restored = restored.get(subtree, restored)
             params = restore_into(params, restored)
@@ -105,7 +105,7 @@ def main(argv=None):
         mel_ckpt = os.path.abspath("checkpoints/audio_mel/checkpoint.ckpt")
         audio_params = _maybe_load(audio_params, mel_ckpt)
         if os.path.exists(mel_ckpt):
-            restored = load_checkpoint(mel_ckpt)
+            restored = load_checkpoint_auto(mel_ckpt)
             if restored.get("extra", {}).get("batch_stats"):
                 audio_batch_stats = restore_into(audio_batch_stats, restored["extra"]["batch_stats"])
     else:

@@ -15,7 +15,7 @@ from fe_common import REPO_ROOT, parse_args
 from mer_tpu.core import load_config, save_embeddings
 from mer_tpu.data import MelFeatureDataset
 from mer_tpu.models.resnet import AudioMelFeatureExtractor
-from mer_tpu.train import MelSolver, load_checkpoint
+from mer_tpu.train import MelSolver, load_checkpoint_auto
 from mer_tpu.train.checkpoint import restore_into
 
 CONFIG = os.path.join(REPO_ROOT, "src", "feature_extractors", "audio_mel", "config_audio_mel.yaml")
@@ -61,7 +61,7 @@ def main(argv=None, save_dir: str = "embeddings/audio_mel"):
         solver.set_batch_stats(restore_into(solver._batch_stats, batch_stats))
         print(f"Converted reference torch checkpoint {ckpt_path}")
     else:
-        restored = load_checkpoint(ckpt_path)
+        restored = load_checkpoint_auto(ckpt_path)
         params = restore_into(state.params, restored["params"])
 
     for mode in ["train", "val", "test"]:

@@ -18,7 +18,7 @@ from mer_tpu.core import load_config, save_embeddings
 from mer_tpu.data import Wav2Vec2Batcher, Wav2Vec2FeatureDataset
 from mer_tpu.data.wav2vec2_fe import w2v_batch_to_inputs
 from mer_tpu.models.wav2vec2 import AudioERC
-from mer_tpu.train import load_checkpoint
+from mer_tpu.train import load_checkpoint_auto
 from mer_tpu.train.checkpoint import restore_into
 
 CONFIG = os.path.join(REPO_ROOT, "src", "feature_extractors", "audio_wav2vec2", "config.yaml")
@@ -39,7 +39,7 @@ def main(argv=None, save_dir: str = "embeddings/audio_wav2vec2"):
 
     ckpt_path = os.path.abspath(str(config.checkpoint.save_path))
     if os.path.exists(ckpt_path):
-        restored = load_checkpoint(ckpt_path)
+        restored = load_checkpoint_auto(ckpt_path)
         params = restore_into(params, restored["params"])
         print(f"Loaded fine-tuned checkpoint {ckpt_path}")
     elif pretrained is not None:

@@ -14,7 +14,7 @@ from fe_common import REPO_ROOT, load_wav2vec2_model, parse_args
 from mer_tpu.core import load_config
 from mer_tpu.data import Wav2Vec2Batcher, Wav2Vec2FeatureDataset
 from mer_tpu.data.wav2vec2_fe import w2v_batch_to_inputs
-from mer_tpu.train import FESolver, load_checkpoint
+from mer_tpu.train import FESolver, load_checkpoint_auto
 from mer_tpu.train.checkpoint import restore_into
 
 CONFIG = os.path.join(REPO_ROOT, "src", "feature_extractors", "audio_wav2vec2", "config.yaml")
@@ -40,7 +40,7 @@ def main(argv=None):
     ckpt_path = os.path.abspath(str(config.checkpoint.save_path))
     if not os.path.exists(ckpt_path):
         raise FileNotFoundError(f"Checkpoint not found at {ckpt_path}")
-    restored = load_checkpoint(ckpt_path)
+    restored = load_checkpoint_auto(ckpt_path)
     params = restore_into(state["params"], restored["params"])
 
     return solver.test(dl_test, params)

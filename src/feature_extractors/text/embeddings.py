@@ -16,7 +16,7 @@ from fe_common import REPO_ROOT, export_embedding_table, load_text_model_and_tok
 from mer_tpu.core import load_config, save_embeddings
 from mer_tpu.data import TextBatcher, TextFeatureDataset
 from mer_tpu.models.roberta import TextERC
-from mer_tpu.train import load_checkpoint
+from mer_tpu.train import load_checkpoint_auto
 from mer_tpu.train.checkpoint import restore_into
 
 CONFIG = os.path.join(REPO_ROOT, "src", "feature_extractors", "text", "config.yaml")
@@ -40,7 +40,7 @@ def main(argv=None, save_dir: str = "embeddings/text"):
 
     ckpt_path = os.path.abspath(str(config.checkpoint.save_path))
     if os.path.exists(ckpt_path):
-        restored = load_checkpoint(ckpt_path)
+        restored = load_checkpoint_auto(ckpt_path)
         params = restore_into(params, restored["params"])
         print(f"Loaded fine-tuned checkpoint {ckpt_path}")
     elif pretrained is not None:

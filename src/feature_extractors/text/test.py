@@ -10,7 +10,7 @@ from fe_common import REPO_ROOT, load_text_model_and_tokenizer, parse_args
 
 from mer_tpu.core import load_config
 from mer_tpu.data import TextBatcher, TextFeatureDataset
-from mer_tpu.train import FESolver, load_checkpoint
+from mer_tpu.train import FESolver, load_checkpoint_auto
 from mer_tpu.train.checkpoint import restore_into
 
 CONFIG = os.path.join(REPO_ROOT, "src", "feature_extractors", "text", "config.yaml")
@@ -36,7 +36,7 @@ def main(argv=None):
     model_path = os.path.abspath(str(config.test.model_path))
     if not os.path.exists(model_path):
         raise FileNotFoundError(f"Checkpoint not found at {model_path}")
-    restored = load_checkpoint(model_path)
+    restored = load_checkpoint_auto(model_path)
     params = restore_into(state["params"], restored["params"])
 
     return solver.test(dl_test, params)

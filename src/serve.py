@@ -88,14 +88,14 @@ def main(argv=None):
     if args.synthetic:
         params = model.init(jax.random.PRNGKey(0), example, example, jnp.zeros((1, 8), bool))["params"]
     else:
-        from mer_tpu.train import load_checkpoint
+        from mer_tpu.train import load_checkpoint_auto
         from mer_tpu.train.checkpoint import restore_into
 
         ckpt_path = os.path.abspath(str(config.checkpoint.load_path))
         if not os.path.exists(ckpt_path):
             raise FileNotFoundError(f"Checkpoint not found at {ckpt_path} — train first (src/train.py)")
         template = model.init(jax.random.PRNGKey(0), example, example, jnp.zeros((1, 8), bool))["params"]
-        params = restore_into(template, load_checkpoint(ckpt_path)["params"])
+        params = restore_into(template, load_checkpoint_auto(ckpt_path)["params"])
 
     predict = make_predict_fn(model, params, args.int8)
 

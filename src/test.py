@@ -9,7 +9,7 @@ import sys
 
 from pipeline import build, parse_args
 
-from mer_tpu.train import load_checkpoint
+from mer_tpu.train import load_checkpoint_auto
 from mer_tpu.train.checkpoint import restore_into
 
 
@@ -96,7 +96,7 @@ def main(argv=None):
 
     example = next(iter(batchers["test"]))
     state = solver.init_state(example, steps_per_epoch=1)
-    restored = load_checkpoint(ckpt_path)
+    restored = load_checkpoint_auto(ckpt_path)
     params = restore_into(state.params, restored["params"])
 
     if int8 or serving_batch is not None:

@@ -93,3 +93,59 @@ class TestShardedCheckpoint:
         replaced = jax.device_put(ckpt["params"]["s"], NamedSharding(mesh, P("pp")))
         np.testing.assert_array_equal(np.asarray(replaced), np.asarray(placed))
         assert replaced.sharding == placed.sharding
+
+
+class TestSolverShardedCheckpoint:
+    """checkpoint.sharded: true routes the production train loops through
+    the per-process sharded writer; save -> resume round-trips."""
+
+    def test_fusion_solver_sharded_save_and_resume(self, tmp_path):
+        import os
+
+        from mer_tpu.core.config import Config
+        from mer_tpu.data import FusionBatcher
+        from mer_tpu.data.synthetic import SyntheticFusionDataset
+        from mer_tpu.models import M2FNet
+        from mer_tpu.train import Solver, load_checkpoint_auto
+
+        def cfg_for(epochs, load):
+            return Config({
+                "checkpoint": {
+                    "save_path": str(tmp_path / "ckpt" / "model_sharded"),
+                    "load_path": str(tmp_path / "ckpt" / "model_sharded"),
+                    "save_checkpoint": True, "load_checkpoint": load,
+                    "sharded": True,
+                },
+                "solver": {
+                    "loss_fn": "CE", "balance_classes": False, "lr": 1e-3,
+                    "weight_decay": 0.0, "epochs": epochs,
+                    "scheduler": {"enabled": False},
+                    "early_stopping": {"enabled": False, "patience": 1,
+                                       "restore_best_weights": False},
+                },
+                "wandb": {"enabled": False},
+                "tpu": {"seed": 0},
+            })
+
+        model = M2FNet(
+            d_model_audio=16, d_model_text=16, d_model_fam=16,
+            n_head_audio=2, n_head_text=2, n_head_fam=2,
+            n_layers_audio=1, n_layers_text=1, n_layers_fam=1,
+            hidden_size_classifier=16, dropout=0.1,
+        )
+        train = SyntheticFusionDataset(n_dialogues=16, d_text=16, d_audio=16, seed=0)
+        val = SyntheticFusionDataset(n_dialogues=8, d_text=16, d_audio=16, seed=100)
+        tb = FusionBatcher(train, batch_size=8, shuffle=True, seed=1)
+        vb = FusionBatcher(val, batch_size=8, shuffle=False)
+
+        solver = Solver(model, cfg_for(2, load=False))
+        solver.fit(tb, vb)
+        ckpt_dir = str(tmp_path / "ckpt" / "model_sharded")
+        assert os.path.isdir(ckpt_dir)
+        ckpt = load_checkpoint_auto(ckpt_dir)
+        assert ckpt["epoch"] == 1 and "params" in ckpt and ckpt["opt_state"]
+
+        solver2 = Solver(model, cfg_for(3, load=True))
+        _, history2 = solver2.fit(tb, vb)
+        assert len(history2["loss_values"]) == 1  # resumed at epoch 2
+        assert load_checkpoint_auto(ckpt_dir)["epoch"] == 2
