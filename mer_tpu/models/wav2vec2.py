@@ -84,8 +84,13 @@ class ConvFeatureExtractor(nn.Module):
 
     ``use_gemm``: compute each conv as strided-window reshape + MXU GEMM
     instead of XLA's conv lowering (identical math and param tree; see
-    _strided_windows). None = backend default (off until the device profile
-    says otherwise — scripts/profile_w2v_conv.py)."""
+    _strided_windows). None = backend default = OFF — measured on the v5e
+    chip (scripts/profile_w2v_conv.py, 2026-08-18): XLA conv 10.77 ms/batch
+    (58.3 TFLOP/s, 29.6% bf16 peak) vs GEMM 16.50 ms (38.1 TFLOP/s) on the
+    32x4s export batch — XLA's conv lowering wins 1.53x; the window
+    materialization (k/s up to 2x data expansion in HBM for the k!=s layers)
+    costs more than the conv-tiling it avoids. The GEMM path stays as an
+    equality-tested alternative for other shape regimes."""
 
     cfg: Wav2Vec2Config
     dtype: jnp.dtype = jnp.float32
