@@ -31,8 +31,9 @@ from mer_tpu.models.wav2vec2 import (
     ConvFeatureExtractor, Wav2Vec2Config, conv_stack_gemm,
 )
 
-B = int(sys.argv[1]) if len(sys.argv) > 1 else 32
-SECS = float(sys.argv[2]) if len(sys.argv) > 2 else 4.0
+_pos = [a for a in sys.argv[1:] if not a.startswith("--")]
+B = int(_pos[0]) if len(_pos) > 0 else 32
+SECS = float(_pos[1]) if len(_pos) > 1 else 4.0
 L = int(16000 * SECS)
 DTYPE = jnp.bfloat16
 REPEATS = 20
@@ -75,6 +76,32 @@ def timed(fn, params, wav) -> float:
     return min(times)
 
 
+def conv_prefix(params, w, n_layers: int, dtype=DTYPE):
+    """Forward through the first ``n_layers`` convs of the stack (with the
+    layer-0 GroupNorm + GELU exactly as ConvFeatureExtractor applies them).
+    Timing prefixes 1..7 gives a per-layer cost breakdown by differencing."""
+    import flax.linen as nn_
+
+    x = w[:, :, None].astype(dtype)
+    for i, (dim, k, s) in enumerate(
+        zip(cfg.conv_dim[:n_layers], cfg.conv_kernel[:n_layers], cfg.conv_stride[:n_layers])
+    ):
+        kernel = params[f"conv_{i}"]["kernel"].astype(dtype)
+        x = jax.lax.conv_general_dilated(
+            x, kernel, window_strides=(s,), padding="VALID",
+            dimension_numbers=("NWC", "WIO", "NWC"),
+        )
+        if i == 0:
+            gp = params["group_norm"]
+            xf = x.astype(jnp.float32)
+            mean = xf.mean(axis=1, keepdims=True)
+            var = xf.var(axis=1, keepdims=True)
+            xf = (xf - mean) * jax.lax.rsqrt(var + cfg.layer_norm_eps)
+            x = (xf * gp["scale"] + gp["bias"]).astype(dtype)
+        x = nn_.gelu(x, approximate=False)
+    return x
+
+
 def main():
     rng = np.random.default_rng(0)
     wav = jnp.asarray(rng.normal(size=(B, L)).astype(np.float32))
@@ -99,6 +126,67 @@ def main():
         dt = timed(fn, params, wav)
         print(
             f"{name}: {dt*1e3:8.3f} ms/batch  "
+            f"{fl/dt/1e12:6.1f} TFLOP/s  ({fl/dt/197e12*100:4.1f}% bf16 peak)"
+        )
+
+    if "--per-layer" in sys.argv:
+        # prefix timings -> per-layer deltas (which conv layer actually costs)
+        prev = 0.0
+        for n in range(1, len(cfg.conv_dim) + 1):
+            fn = lambda p, w, n=n: conv_prefix(p, w, n)
+            dt = timed(fn, params, wav)
+            layer_fl = conv_flops(B, L) if n == 7 else None
+            print(
+                f"prefix conv_0..conv_{n-1}: {dt*1e3:8.3f} ms  "
+                f"(delta conv_{n-1}: {(dt-prev)*1e3:7.3f} ms)"
+            )
+            prev = dt
+
+    if "--pallas" in sys.argv:
+        from mer_tpu.ops.w2v_conv_pallas import conv_stack_fused
+
+        def pallas_conv(p, w):
+            return conv_stack_fused(p, w, cfg, dtype=DTYPE)
+
+        a = np.asarray(xla_conv(params, wav[:2])).astype(np.float64)
+        c = np.asarray(pallas_conv(params, wav[:2])).astype(np.float64)
+        rel = np.abs(a - c).max() / max(np.abs(a).max(), 1e-9)
+        print(f"pallas-vs-xla max rel err (bf16): {rel:.2e}")
+        dt = timed(pallas_conv, params, wav)
+        print(
+            f"pallas_conv: {dt*1e3:8.3f} ms/batch  "
+            f"{fl/dt/1e12:6.1f} TFLOP/s  ({fl/dt/197e12*100:4.1f}% bf16 peak)"
+        )
+
+    if "--l0fused" in sys.argv:
+        from mer_tpu.ops.w2v_conv_pallas import conv_stack_l0fused
+
+        def l0_conv(p, w):
+            return conv_stack_l0fused(p, w, cfg, dtype=DTYPE)
+
+        a = np.asarray(xla_conv(params, wav[:2])).astype(np.float64)
+        c = np.asarray(l0_conv(params, wav[:2])).astype(np.float64)
+        rel = np.abs(a - c).max() / max(np.abs(a).max(), 1e-9)
+        print(f"l0fused-vs-xla max rel err (bf16): {rel:.2e}")
+        dt = timed(l0_conv, params, wav)
+        print(
+            f"l0fused_conv: {dt*1e3:8.3f} ms/batch  "
+            f"{fl/dt/1e12:6.1f} TFLOP/s  ({fl/dt/197e12*100:4.1f}% bf16 peak)"
+        )
+
+    if "--gnfused" in sys.argv:
+        from mer_tpu.ops.w2v_conv_pallas import conv_stack_gnfused
+
+        def gn_conv(p, w):
+            return conv_stack_gnfused(p, w, cfg, dtype=DTYPE)
+
+        a = np.asarray(xla_conv(params, wav[:2])).astype(np.float64)
+        c = np.asarray(gn_conv(params, wav[:2])).astype(np.float64)
+        rel = np.abs(a - c).max() / max(np.abs(a).max(), 1e-9)
+        print(f"gnfused-vs-xla max rel err (bf16): {rel:.2e}")
+        dt = timed(gn_conv, params, wav)
+        print(
+            f"gnfused_conv: {dt*1e3:8.3f} ms/batch  "
             f"{fl/dt/1e12:6.1f} TFLOP/s  ({fl/dt/197e12*100:4.1f}% bf16 peak)"
         )
 
