@@ -34,11 +34,28 @@ def load_roberta_tokenizer(name: str = "roberta-base"):
         ) from e
 
 
+def pad_tokens_to(ids: np.ndarray, mask: np.ndarray, width: int, pad_id: int):
+    """Widen tokenized [B, T] ids/mask to exactly ``width`` columns — the
+    result of re-tokenizing with pad_to=width, without re-running the
+    tokenizer (this host is 1 core; tokenization ran twice per batch before).
+    Callers must only use this when T <= width (padding, never truncation —
+    truncation semantics belong to the tokenizer)."""
+    t = ids.shape[1]
+    if t == width:
+        return ids, mask
+    assert t < width, "pad_tokens_to only pads; re-tokenize to truncate"
+    return (
+        np.pad(ids, ((0, 0), (0, width - t)), constant_values=pad_id),
+        np.pad(mask, ((0, 0), (0, width - t))),
+    )
+
+
 class HFTokenizerAdapter:
     def __init__(self, tokenizer, max_length: int = 512):
         self.tokenizer = tokenizer
         self.max_length = max_length
         self.sep_token = tokenizer.sep_token
+        self.pad_id = int(tokenizer.pad_token_id)
 
     def __call__(self, texts: list[str], pad_to: int | None = None):
         enc = self.tokenizer(
@@ -136,7 +153,10 @@ class TextBatcher:
             texts = [self.dataset.texts[j] for j in full_idx]
             ids, mask = self.dataset.tokenizer(texts)
             width = self._bucket(ids.shape[1])
-            ids2, mask2 = self.dataset.tokenizer(texts, pad_to=width)
+            if ids.shape[1] <= width:
+                ids2, mask2 = pad_tokens_to(ids, mask, width, self.dataset.tokenizer.pad_id)
+            else:  # longest > largest bucket: let the tokenizer truncate
+                ids2, mask2 = self.dataset.tokenizer(texts, pad_to=width)
             emotion = self.dataset.labels[full_idx].astype(np.int32).copy()
             if pad:
                 emotion[len(idx):] = -1

@@ -26,6 +26,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from mer_tpu.data.fusion import DEFAULT_LENGTH_BUCKETS, collate_dialogues, pick_bucket
+from mer_tpu.data.text_fe import pad_tokens_to
 from mer_tpu.models.m2fnet import M2FNet
 from mer_tpu.models.roberta import TextERC
 from mer_tpu.models.wav2vec2 import AudioERC
@@ -185,6 +186,26 @@ class StreamingPipeline:
 
         self._text_embed_fn = jax.jit(text_embed)
         self._audio_embed_fn = jax.jit(audio_embed)
+
+        # scan-grouped stage 1 (offline path): all same-shape utterance
+        # batches stacked to [G, B, ...] and embedded by ONE lax.scan
+        # dispatch per (modality, shape) group. On tunneled hosts each jit
+        # dispatch blocks the host ~25-30 ms (BENCH fusion_latency_*_dispatch
+        # rows); the per-batch loop paid that 2x per batch and was the
+        # whole e2e bottleneck (host batch production profiles at 18 ms
+        # for the full split — see embed_utterances_scanned).
+        def _scanned(fn):
+            def run_scan(params, *stacked):
+                def body(carry, args):
+                    return carry, fn(params, *args)
+
+                _, out = jax.lax.scan(body, None, stacked)
+                return out
+
+            return jax.jit(run_scan)
+
+        self._text_embed_scan_fn = _scanned(text_embed)
+        self._audio_embed_scan_fn = _scanned(audio_embed)
         self._fusion_fn = jax.jit(
             lambda params, text, audio, mask: jnp.argmax(fusion_logits(params, text, audio, mask), axis=-1)
         )
@@ -195,19 +216,20 @@ class StreamingPipeline:
         # traffic of the whole pipeline is the tiny [B, U] prediction arrays.
         # (The host-table path fetched [N, 768] x2 over the host link — ~87%
         # of stage-1 wall clock on tunneled hosts, BENCH_LOCAL e2e_stages.)
-        def _fusion_from_tables(params, table_t, table_a, idxm, mask):
-            safe = jnp.maximum(idxm, 0)
-            valid = (idxm >= 0)[..., None]
-            text = jnp.where(valid, table_t[safe], 0)
-            audio = jnp.where(valid, table_a[safe], 0)
+        def _fusion_from_tables(params, table_t, table_a, idxm_t, idxm_a, mask):
+            # separate index matrices per modality: the scan-grouped stage 1
+            # orders each table by its own shape groups, so a dataset row can
+            # sit at different positions in the text and audio tables
+            text = jnp.where((idxm_t >= 0)[..., None], table_t[jnp.maximum(idxm_t, 0)], 0)
+            audio = jnp.where((idxm_a >= 0)[..., None], table_a[jnp.maximum(idxm_a, 0)], 0)
             return jnp.argmax(fusion_logits(params, text, audio, mask), axis=-1)
 
         self._fusion_tables_fn = jax.jit(_fusion_from_tables)
         self._text_embed = lambda ids, mask: self._text_embed_fn(self.m.text_params, ids, mask)
         self._audio_embed = lambda audio, lengths: self._audio_embed_fn(self.m.audio_params, audio, lengths)
         self._fusion = lambda text, audio, mask: self._fusion_fn(self.m.fusion_params, text, audio, mask)
-        self._fusion_tables = lambda tt, ta, idxm, mask: self._fusion_tables_fn(
-            self.m.fusion_params, tt, ta, idxm, mask
+        self._fusion_tables = lambda tt, ta, idxm_t, idxm_a, mask: self._fusion_tables_fn(
+            self.m.fusion_params, tt, ta, idxm_t, idxm_a, mask
         )
 
     # -- stage 1: utterance embeddings ---------------------------------------
@@ -301,6 +323,74 @@ class StreamingPipeline:
             np.concatenate(audio_rows)[order],
         )
 
+    def embed_utterances_scanned(self, batches, stage_times: dict | None = None):
+        """Offline stage 1: consume ALL host batches up front, group them by
+        device shape per modality, and embed each group with ONE lax.scan
+        dispatch over the [G, B, ...] stack (one H2D transfer per group).
+
+        Rationale (measured, v5e behind an HTTP tunnel): producing every host
+        batch for a 300-utterance split costs 18 ms warm / 76 ms cold, while
+        EACH jit dispatch blocks the host ~25-30 ms on the tunnel — the
+        per-batch loop in ``embed_utterances`` paid that twice per batch
+        (2 modalities x ~10 batches ~= 0.6 s of pure dispatch latency).
+        Grouping collapses that to one dispatch per (modality, shape) group,
+        the TPU-native shape of the reference's export loops
+        (text/embeddings.py:69-93, audio_wav2vec2/embeddings.py:68-94).
+
+        Returns ``(table_t, table_a, pos_t, pos_a)``: flat HBM embedding
+        tables (group-major order, which differs per modality) and per-row
+        position maps into each.
+        """
+        t_host = time.perf_counter()
+        host = list(batches)
+        if not host:
+            raise ValueError("no utterance batches")
+        n_rows = 1 + max(int(np.max(b["idx"])) for b in host)
+        if stage_times is not None:
+            stage_times["embed_host_prep_s"] = round(time.perf_counter() - t_host, 3)
+
+        t_dispatch = time.perf_counter()
+
+        def _embed_tables(keys, scan_fn, params):
+            groups: dict[tuple, list[int]] = {}
+            for i, b in enumerate(host):
+                sig = tuple(np.shape(b[k]) for k in keys)
+                groups.setdefault(sig, []).append(i)
+            pos = np.full((n_rows,), -1, np.int64)
+            tables, offset = [], 0
+            for idxs in groups.values():
+                stacked = tuple(
+                    jnp.asarray(np.stack([host[i][k] for i in idxs])) for k in keys
+                )
+                out = scan_fn(params, *stacked)  # [G, B, D]
+                g, bsz, d = out.shape
+                tables.append(out.reshape(g * bsz, d))
+                for j, i in enumerate(idxs):
+                    b = host[i]
+                    valid = b["emotion"] != -1
+                    pos[np.asarray(b["idx"])[valid]] = offset + j * bsz + np.nonzero(valid)[0]
+                offset += g * bsz
+            table = jnp.concatenate(tables, axis=0) if len(tables) > 1 else tables[0]
+            if not (pos >= 0).all():
+                missing = int((pos < 0).sum())
+                raise ValueError(
+                    f"{missing} dataset rows never appeared in the utterance stream "
+                    "(or arrived only as emotion==-1 padding) — the device-resident "
+                    "handoff would silently misclassify them as padding"
+                )
+            return table, pos
+
+        table_t, pos_t = _embed_tables(
+            ("text", "attention_mask"), self._text_embed_scan_fn, self.m.text_params
+        )
+        table_a, pos_a = _embed_tables(
+            ("audio", "lengths"), self._audio_embed_scan_fn, self.m.audio_params
+        )
+        if stage_times is not None:
+            stage_times["embed_dispatch_s"] = round(time.perf_counter() - t_dispatch, 3)
+            stage_times["embed_fetch_s"] = 0.0  # tables stay in HBM
+        return table_t, table_a, pos_t, pos_a
+
     # -- stage 2: fusion over dialogues ---------------------------------------
 
     def predict_dialogues(self, dialogues: list[dict]) -> tuple[np.ndarray, np.ndarray]:
@@ -324,23 +414,31 @@ class StreamingPipeline:
     def predict_dialogues_from_tables(self, table_t, table_a, dialogues: list[dict]) -> tuple[np.ndarray, np.ndarray]:
         """Device-resident stage 2: gather dialogue batches straight from the
         HBM embedding tables and fetch only the [B, U] predictions.
-        dialogues: [{"rows": [U] table positions, "emotion": [U]}]."""
+        dialogues: [{"rows": [U] table positions, "emotion": [U]}] — or, when
+        stage 1 ran scan-grouped (per-modality table orders), "rows_t" and
+        "rows_a" instead of "rows"."""
         pending = []
         for i in range(0, len(dialogues), self.dialogue_batch):
             chunk = dialogues[i : i + self.dialogue_batch]
-            u = pick_bucket(max(len(d["rows"]) for d in chunk), self.buckets)
-            idxm = np.full((self.dialogue_batch, u), -1, np.int32)
+            u = pick_bucket(max(len(d.get("rows", d.get("rows_t")))
+                                for d in chunk), self.buckets)
+            idxm_t = np.full((self.dialogue_batch, u), -1, np.int32)
+            idxm_a = np.full((self.dialogue_batch, u), -1, np.int32)
             emotion = np.full((self.dialogue_batch, u), -1, np.int64)
             for k, d in enumerate(chunk):
-                n = len(d["rows"])
-                idxm[k, :n] = d["rows"]
+                rows_t = d.get("rows_t", d.get("rows"))
+                rows_a = d.get("rows_a", d.get("rows"))
+                n = len(rows_t)
+                idxm_t[k, :n] = rows_t
+                idxm_a[k, :n] = rows_a
                 emotion[k, :n] = d["emotion"]
             padding_mask = emotion == -1
             # collate_dialogues parity: all-pad rows keep one attendable key
             empty_rows = padding_mask.all(axis=1)
             padding_mask[empty_rows, 0] = False
             preds = self._fusion_tables(
-                table_t, table_a, jnp.asarray(idxm), jnp.asarray(padding_mask)
+                table_t, table_a, jnp.asarray(idxm_t), jnp.asarray(idxm_a),
+                jnp.asarray(padding_mask)
             )
             pending.append((emotion, preds))
         # ONE fused D2H transfer for all batches (each np.asarray pays a full
@@ -357,7 +455,8 @@ class StreamingPipeline:
 
     # -- full run -------------------------------------------------------------
 
-    def run(self, utterance_batches, df, timed: bool = True, device_resident: bool = True) -> dict:
+    def run(self, utterance_batches, df, timed: bool = True, device_resident: bool = True,
+            scan_stage1: bool = True) -> dict:
         """utterance_batches: host iterator of mixed-modality batches;
         df: the get_text dataframe (dialogue structure + labels).
 
@@ -365,20 +464,33 @@ class StreamingPipeline:
         fusion stage as HBM-resident tables + a jitted gather; only the tiny
         prediction arrays cross back to the host.  ``False`` restores the
         host-table path (fetch [N, D] tables, group on host, re-upload) —
-        useful when the embedding tables themselves are the product."""
+        useful when the embedding tables themselves are the product.
+
+        ``scan_stage1=True`` (default, device-resident only) runs stage 1
+        scan-grouped (embed_utterances_scanned): one dispatch per (modality,
+        shape) group instead of two per batch — 2.8x end-to-end on tunneled
+        hosts.  ``False`` keeps the per-batch streaming loop (the shape a
+        true online source requires)."""
         from mer_tpu.core import dialogue_index
 
         stages: dict = {}
         labels = df["Emotion"].to_numpy()
         t0 = time.perf_counter()
         if device_resident:
-            table_t, table_a, pos = self.embed_utterances(
-                utterance_batches, stage_times=stages, fetch=False
-            )
+            if scan_stage1:
+                table_t, table_a, pos_t, pos_a = self.embed_utterances_scanned(
+                    utterance_batches, stage_times=stages
+                )
+            else:
+                table_t, table_a, pos = self.embed_utterances(
+                    utterance_batches, stage_times=stages, fetch=False
+                )
+                pos_t = pos_a = pos
             t1 = time.perf_counter()
             stages["stage1_embed_s"] = round(t1 - t0, 3)
             dialogues = [
-                {"rows": pos[np.asarray(rows)], "emotion": labels[np.asarray(rows)].astype(np.int64)}
+                {"rows_t": pos_t[np.asarray(rows)], "rows_a": pos_a[np.asarray(rows)],
+                 "emotion": labels[np.asarray(rows)].astype(np.int64)}
                 for rows in dialogue_index(df).values()
             ]
             t2 = time.perf_counter()
@@ -445,7 +557,10 @@ def mixed_utterance_batches(text_ds, w2v_ds, batch_size: int = 16,
         texts = [text_ds.texts[j] for j in full]
         ids, mask = text_ds.tokenizer(texts)
         width = bucket(ids.shape[1], token_buckets)
-        ids, mask = text_ds.tokenizer(texts, pad_to=width)
+        if ids.shape[1] <= width:
+            ids, mask = pad_tokens_to(ids, mask, width, text_ds.tokenizer.pad_id)
+        else:  # longest > largest bucket: let the tokenizer truncate
+            ids, mask = text_ds.tokenizer(texts, pad_to=width)
 
         waves = [w2v_ds.waveform(j) for j in full]
         wwidth = bucket(max(len(w) for w in waves), sample_buckets)

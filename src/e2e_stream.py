@@ -50,6 +50,9 @@ def main(argv=None):
     p.add_argument("--utterance-batch", type=int, default=32)
     p.add_argument("--int8", action="store_true",
                    help="serve all three models through the int8 engines (mer_tpu/serving)")
+    p.add_argument("--per-batch-stage1", action="store_true",
+                   help="per-batch stage-1 dispatch (true-streaming shape) instead of "
+                        "the scan-grouped offline default (one dispatch per shape group)")
     p.add_argument("--audio", default="wav2vec2", choices=("wav2vec2", "mel"),
                    help="audio embedder: wav2vec2 (768-d) or on-device log-mel -> "
                         "ResNet18 (300-d) — the reference's embeddings-dir switch "
@@ -136,8 +139,10 @@ def main(argv=None):
 
     batches = mixed_utterance_batches(text_ds, w2v_ds, batch_size=args.utterance_batch)
     # warmup pass compiles every bucket shape, second pass is the timed run
-    pipeline.run(mixed_utterance_batches(text_ds, w2v_ds, batch_size=args.utterance_batch), df)
-    result = pipeline.run(batches, df)
+    scan_stage1 = not args.per_batch_stage1
+    pipeline.run(mixed_utterance_batches(text_ds, w2v_ds, batch_size=args.utterance_batch), df,
+                 scan_stage1=scan_stage1)
+    result = pipeline.run(batches, df, scan_stage1=scan_stage1)
     print(
         f"e2e streaming: {result['n_utterances']} utterances in {result['seconds']:.2f}s "
         f"({result['utterances_per_sec']:.1f} utt/s) "

@@ -75,6 +75,14 @@ class TestStreamingPipeline:
         np.testing.assert_allclose(host_result["accuracy"], result["accuracy"], atol=1e-9)
         np.testing.assert_allclose(host_result["weighted_f1"], result["weighted_f1"], atol=1e-9)
 
+        # ... and so must the per-batch streaming stage 1 (scan_stage1=False):
+        # scan grouping is a dispatch-count change, not a numerics change
+        batches2b = mixed_utterance_batches(text_ds, w2v_ds, batch_size=8, seconds_buckets=(1.0,))
+        stream_result = pipeline.run(batches2b, df, scan_stage1=False)
+        assert stream_result["n_utterances"] == result["n_utterances"]
+        np.testing.assert_allclose(stream_result["accuracy"], result["accuracy"], atol=1e-9)
+        np.testing.assert_allclose(stream_result["weighted_f1"], result["weighted_f1"], atol=1e-9)
+
         # int8 engine mode: full pipeline through the quantized serving
         # engines (per-model error envelopes are pinned in test_serving_quant)
         pipeline8 = StreamingPipeline(models, utterance_batch=8, dialogue_batch=4, engine="int8")
