@@ -79,6 +79,36 @@ class _Conv1dGemm(nn.Module):
         )
 
 
+class _GroupNorm1Pass(nn.Module):
+    """GroupNorm(num_groups=C, C) over time with ONE-pass statistics
+    (sum/sumsq -> var = E[x^2] - mean^2) — param-tree-compatible with the
+    ``nn.GroupNorm`` it replaces (scale [C] ones, bias [C] zeros; f32 stats,
+    output cast to ``dtype``).  jnp.var is a mean pass plus a squared-
+    deviation pass: one extra full read of the [B, 12799, 512] layer-0
+    activation, worth 0.53 ms/batch on the v5e export shape
+    (scripts/probe_w2v_layer0.py --xla-variants: stack 11.36 -> 10.83 ms).
+    The one-pass form differs from two-pass variance only by f32 rounding
+    (~1e-6 relative on this zero-mean activation; cancellation needs
+    mean >> std, which GN-normalized conv outputs never have)."""
+
+    epsilon: float
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        c = x.shape[-1]
+        scale = self.param("scale", nn.initializers.ones, (c,))
+        bias = self.param("bias", nn.initializers.zeros, (c,))
+        xf = x.astype(jnp.float32)
+        n = jnp.float32(x.shape[1])
+        sm = jnp.sum(xf, axis=1, keepdims=True)
+        sq = jnp.sum(xf * xf, axis=1, keepdims=True)
+        mean = sm / n
+        var = sq / n - mean * mean
+        y = (xf - mean) * jax.lax.rsqrt(var + self.epsilon)
+        return (y * scale + bias).astype(self.dtype)
+
+
 class ConvFeatureExtractor(nn.Module):
     """Temporal conv stack on raw waveforms [B, L] -> [B, T, C].
 
@@ -90,26 +120,46 @@ class ConvFeatureExtractor(nn.Module):
     32x4s export batch — XLA's conv lowering wins 1.53x; the window
     materialization (k/s up to 2x data expansion in HBM for the k!=s layers)
     costs more than the conv-tiling it avoids. The GEMM path stays as an
-    equality-tested alternative for other shape regimes."""
+    equality-tested alternative for other shape regimes.
+
+    ``fused_glue``: layer-0-only TPU glue tuning, None = ON for TPU backends
+    (measured: scripts/probe_w2v_layer0.py --xla-variants, v5e 32x4s bf16,
+    stack 11.36 -> 10.46 ms, 1.086x): (a) layer 0 computed as the
+    strided-windows GEMM — cin=1/k=10 makes XLA's conv tiling pad the
+    contraction while the [B, T, 10] window build is 10 thin contiguous
+    slices; composed with (b) it wins 0.37 ms where alone it is a wash —
+    and (b) the GroupNorm via _GroupNorm1Pass (one fused sum/sumsq pass).
+    Both are param-tree-identical rewrites; the stride-2 tail always stays
+    on XLA's conv lowering (51% of peak — every Pallas/GEMM alternative
+    measured slower, see ops/w2v_conv_pallas.py)."""
 
     cfg: Wav2Vec2Config
     dtype: jnp.dtype = jnp.float32
     use_gemm: bool | None = None
+    fused_glue: bool | None = None
 
     @nn.compact
     def __call__(self, waveforms: jnp.ndarray) -> jnp.ndarray:
         use_gemm = self.use_gemm if self.use_gemm is not None else False
+        fused_glue = (
+            self.fused_glue if self.fused_glue is not None
+            else jax.default_backend() == "tpu"
+        )
         x = waveforms[:, :, None]  # [B, L, 1]
         for i, (dim, k, s) in enumerate(zip(self.cfg.conv_dim, self.cfg.conv_kernel, self.cfg.conv_stride)):
-            if use_gemm:
+            if use_gemm or (fused_glue and i == 0):
                 x = _Conv1dGemm(dim, k, s, dtype=self.dtype, name=f"conv_{i}")(x)
             else:
                 x = nn.Conv(dim, (k,), strides=(s,), padding="VALID", use_bias=False,
                             dtype=self.dtype, name=f"conv_{i}")(x)
             if i == 0:
                 # GroupNorm(num_groups=C, C) == per-channel norm over time
-                x = nn.GroupNorm(num_groups=self.cfg.conv_dim[0], epsilon=self.cfg.layer_norm_eps,
-                                 dtype=self.dtype, name="group_norm")(x)
+                if fused_glue:
+                    x = _GroupNorm1Pass(epsilon=self.cfg.layer_norm_eps,
+                                        dtype=self.dtype, name="group_norm")(x)
+                else:
+                    x = nn.GroupNorm(num_groups=self.cfg.conv_dim[0], epsilon=self.cfg.layer_norm_eps,
+                                     dtype=self.dtype, name="group_norm")(x)
             x = nn.gelu(x, approximate=False)
         return x
 

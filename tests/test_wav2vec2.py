@@ -173,3 +173,27 @@ class TestConvStackGemm:
         ref = np.asarray(ref_mod.apply({"params": params}, jnp.asarray(waves)))
         got = np.asarray(gemm_mod.apply({"params": params}, jnp.asarray(waves)))
         np.testing.assert_allclose(got, ref, rtol=1e-5, atol=1e-5)
+
+    def test_module_fused_glue_interchangeable(self):
+        """fused_glue=True (the TPU default: layer-0 strided-window GEMM +
+        one-pass GroupNorm stats) is a drop-in: same param tree, same
+        outputs to f32-rounding of the variance formulation."""
+        from mer_tpu.models.wav2vec2 import ConvFeatureExtractor
+
+        waves, _ = _waves(b=2, l=900, seed=7)
+        ref_mod = ConvFeatureExtractor(SMALL, fused_glue=False)
+        fused_mod = ConvFeatureExtractor(SMALL, fused_glue=True)
+        params = ref_mod.init(jax.random.PRNGKey(3), jnp.asarray(waves))["params"]
+        fused_params = fused_mod.init(jax.random.PRNGKey(3), jnp.asarray(waves))["params"]
+        assert jax.tree.structure(params) == jax.tree.structure(fused_params)
+        ref = np.asarray(ref_mod.apply({"params": params}, jnp.asarray(waves)))
+        got = np.asarray(fused_mod.apply({"params": params}, jnp.asarray(waves)))
+        np.testing.assert_allclose(got, ref, rtol=2e-5, atol=2e-5)
+
+        # bf16 compute dtype: same comparison at bf16 tolerance
+        ref16 = ConvFeatureExtractor(SMALL, fused_glue=False, dtype=jnp.bfloat16)
+        got16 = ConvFeatureExtractor(SMALL, fused_glue=True, dtype=jnp.bfloat16)
+        a = np.asarray(ref16.apply({"params": params}, jnp.asarray(waves))).astype(np.float64)
+        b = np.asarray(got16.apply({"params": params}, jnp.asarray(waves))).astype(np.float64)
+        rel = np.abs(a - b).max() / max(np.abs(a).max(), 1e-9)
+        assert rel < 2e-2, rel
