@@ -261,6 +261,16 @@ def bench_fusion_int8(results: dict) -> None:
         np.asarray(last)
         times.append((time.perf_counter() - t0) / inner)
     results["fusion_inference_int8_utt_per_s"] = round(n_utt / min(times), 1)
+    # this row dispatches per batch (9 tiny programs/pass), so its value
+    # tracks the tunnel's per-dispatch host overhead, which varies 2-3x
+    # across process instances (measured 99k-267k utt/s same-day on an idle
+    # chip). The scanned/bigbatch rows (ONE dispatch per shape group) are the
+    # stable serving numbers; this row exists to show the per-batch path.
+    results["fusion_inference_int8_note"] = (
+        "per-batch-dispatch mode: value tracks tunnel dispatch overhead "
+        "(2-3x swing across processes); see scanned/bigbatch rows for the "
+        "dispatch-amortized serving numbers"
+    )
 
 
 def bench_online_serving(results: dict) -> None:
@@ -403,6 +413,31 @@ def bench_fe_export_int8(results: dict) -> None:
     r_flops_t = roberta_forward_flops(RobertaConfig.base(), 128, 128) * len(tbatches)
     timed_loop(lambda ids, m: embed_bf16(bf16_params, ids, m), tbatches, 128 * len(tbatches),
                "roberta_export_tuned_utt_per_s", flops=r_flops_t)
+
+    # scan-amortized export: ONE dispatch embeds the whole stacked set.
+    # The per-batch loops above are dispatch-bound on tunneled dev hosts
+    # (each jit call blocks the host ~25-30 ms — fusion_latency_*_dispatch;
+    # tuned wall 29 ms vs 23.9 ms device compute), so they understate the
+    # chip. This row is the production shape on any host: it is exactly how
+    # the e2e pipeline (embed_utterances_scanned) and the offline serving
+    # engines batch their dispatches.
+    def scanned_embed(embed_fn):
+        def run(p, *stacked):
+            def body(carry, args):
+                return carry, embed_fn(p, *args)
+
+            _, out = jax.lax.scan(body, None, stacked)
+            return out
+
+        return jax.jit(run)
+
+    sbatches = tbatches * 4  # amortize over 8 dispatch-equivalents
+    stacked_t = tuple(jnp.stack([b[i] for b in sbatches]) for i in range(2))
+    embed_scan_t = scanned_embed(lambda p, ids, m: text_model.apply(
+        {"params": p}, ids, m, method=TextERC.embed))
+    timed_loop(lambda *s: embed_scan_t(bf16_params, *s), [stacked_t],
+               128 * len(sbatches), "roberta_export_scanned_utt_per_s",
+               flops=r_flops_t * 4)
     del params, bf16_params, qp, qp_host, qp_static
 
     # --- wav2vec2-base, batch 8 x 4 s (reference truncates at 10 s)
@@ -447,6 +482,17 @@ def bench_fe_export_int8(results: dict) -> None:
     w_flops_t = wav2vec2_forward_flops(Wav2Vec2Config.base(), 32, 64000) * len(wbatches)
     timed_loop(lambda w, l: aembed_bf16(abf16, w, l), wbatches, 32 * len(wbatches),
                "wav2vec2_export_tuned_utt_per_s", flops=w_flops_t)
+
+    # scan-amortized wav2vec2 export (see the RoBERTa scanned row above)
+    swbatches = wbatches * 4
+    stacked_w = tuple(jnp.stack([b[i] for b in swbatches]) for i in range(2))
+    aembed_scan = jax.jit(lambda p, w, l: jax.lax.scan(
+        lambda carry, args: (carry, audio_model.apply(
+            {"params": p}, args[0], args[1], method=AudioERC.embed)),
+        None, (w, l))[1])
+    timed_loop(lambda *s: aembed_scan(abf16, *s), [stacked_w],
+               32 * len(swbatches), "wav2vec2_export_scanned_utt_per_s",
+               flops=w_flops_t * 4)
 
 
 def bench_fe_train(results: dict) -> None:

@@ -12,7 +12,10 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from fe_common import REPO_ROOT, export_embedding_table, load_wav2vec2_model, parse_args
+from fe_common import (
+    REPO_ROOT, export_embedding_table, load_wav2vec2_model, parse_args,
+    scanned_export_table,
+)
 
 from mer_tpu.core import load_config, save_embeddings
 from mer_tpu.data import Wav2Vec2Batcher, Wav2Vec2FeatureDataset
@@ -68,12 +71,17 @@ def main(argv=None, save_dir: str = "embeddings/audio_wav2vec2"):
         ds = Wav2Vec2FeatureDataset(mode, data_root=args.data_root)
         dl = Wav2Vec2Batcher(ds, 32)
         print(f"Saving {mode} embeddings...")
-        batches = []
-        for b in dl:
-            emb = embed(params, jnp.asarray(b["audio"]), jnp.asarray(b["lengths"]))
-            valid = b["emotion"] != -1
-            batches.append((b["idx"][valid], np.asarray(emb)[valid]))
-        table = export_embedding_table(batches, len(ds), model.cfg.hidden_size)
+        if args.per_batch_export:
+            batches = []
+            for b in dl:
+                emb = embed(params, jnp.asarray(b["audio"]), jnp.asarray(b["lengths"]))
+                valid = b["emotion"] != -1
+                batches.append((b["idx"][valid], np.asarray(emb)[valid]))
+            table = export_embedding_table(batches, len(ds), model.cfg.hidden_size)
+        else:
+            table = scanned_export_table(
+                embed, params, dl, ("audio", "lengths"), len(ds), model.cfg.hidden_size
+            )
         out = os.path.join(os.path.abspath(save_dir), f"{mode}.pkl")
         save_embeddings(out, table)
         print(f"Saved {mode} embeddings to {out}")

@@ -34,6 +34,11 @@ def parse_args(argv=None, default_config: str | None = None):
     p.add_argument("--int8", action="store_true",
                    help="embedding export: int8 serving engine (mer_tpu/serving) "
                         "— 4x less weight HBM traffic than f32")
+    p.add_argument("--per-batch-export", action="store_true",
+                   help="embedding export: one dispatch+fetch per batch (the "
+                        "reference's loop shape) instead of the scan-grouped "
+                        "default (one dispatch per shape bucket, one fetch "
+                        "total — see fe_common.scanned_export_table)")
     p.add_argument("--bf16", action="store_true",
                    help="force bf16 compute (f32 params/optimizer, f32 softmax/"
                         "LN stats) for the model forward/backward — 2x MXU rate; "
@@ -224,3 +229,51 @@ def export_embedding_table(embed_batches, n_rows: int, dim: int):
     for idx, emb in embed_batches:
         out[np.asarray(idx)] = np.asarray(emb)[: len(idx)]
     return out
+
+
+def scanned_export_table(embed, params, batcher, keys, n_rows: int, dim: int):
+    """Shape-grouped export: group the host batches by device shape, embed
+    each group with ONE lax.scan dispatch over the [G, B, ...] stack, and
+    fetch every group's embeddings in ONE device->host transfer.
+
+    The reference export loops (text/embeddings.py:69-93,
+    audio_wav2vec2/embeddings.py:68-94) dispatch and fetch per batch; on
+    tunneled hosts each jit dispatch blocks ~25-30 ms and each fetch is a
+    full round trip (BENCH fusion_latency_*_dispatch; CLAUDE.md gotcha 8),
+    so a 300-utterance split pays ~10x the device time in host overhead.
+    Grouping collapses that to one dispatch per token/length bucket — the
+    same dispatch shape as the serving engines and the e2e pipeline
+    (embed_utterances_scanned). Output is bit-identical to the per-batch
+    loop: scan runs the same per-batch jit body.
+
+    ``embed(params, *arrays)`` is the per-batch embed function; ``keys``
+    the batch-dict keys forming its array arguments.
+    """
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    def run_scan(p, *stacked):
+        def body(carry, args):
+            return carry, embed(p, *args)
+
+        _, out = jax.lax.scan(body, None, stacked)
+        return out
+
+    scan_fn = jax.jit(run_scan)
+    host = list(batcher)
+    groups: dict[tuple, list] = {}
+    for b in host:
+        sig = tuple(np.shape(b[k]) for k in keys)
+        groups.setdefault(sig, []).append(b)
+    pending = []
+    for bs in groups.values():
+        stacked = tuple(jnp.asarray(np.stack([b[k] for b in bs])) for k in keys)
+        pending.append((bs, scan_fn(params, *stacked)))  # [G, B, D], async
+    fetched = jax.device_get([out for _, out in pending])  # ONE transfer
+    batches = []
+    for (bs, _), emb in zip(pending, fetched):
+        for b, e in zip(bs, emb):
+            valid = b["emotion"] != -1
+            batches.append((b["idx"][valid], np.asarray(e)[valid]))
+    return export_embedding_table(batches, n_rows, dim)

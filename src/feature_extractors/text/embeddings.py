@@ -11,7 +11,10 @@ import numpy as np
 
 import jax
 
-from fe_common import REPO_ROOT, export_embedding_table, load_text_model_and_tokenizer, parse_args
+from fe_common import (
+    REPO_ROOT, export_embedding_table, load_text_model_and_tokenizer, parse_args,
+    scanned_export_table,
+)
 
 from mer_tpu.core import load_config, save_embeddings
 from mer_tpu.data import TextBatcher, TextFeatureDataset
@@ -66,12 +69,17 @@ def main(argv=None, save_dir: str = "embeddings/text"):
         ds = TextFeatureDataset(mode, tokenizer, data_root=args.data_root)
         dl = TextBatcher(ds, 32)
         print(f"Saving {mode} embeddings...")
-        batches = []
-        for b in dl:
-            emb = embed(params, jax.numpy.asarray(b["text"]), jax.numpy.asarray(b["attention_mask"]))
-            valid = b["emotion"] != -1
-            batches.append((b["idx"][valid], np.asarray(emb)[valid]))
-        table = export_embedding_table(batches, len(ds), model.cfg.hidden_size)
+        if args.per_batch_export:
+            batches = []
+            for b in dl:
+                emb = embed(params, jax.numpy.asarray(b["text"]), jax.numpy.asarray(b["attention_mask"]))
+                valid = b["emotion"] != -1
+                batches.append((b["idx"][valid], np.asarray(emb)[valid]))
+            table = export_embedding_table(batches, len(ds), model.cfg.hidden_size)
+        else:
+            table = scanned_export_table(
+                embed, params, dl, ("text", "attention_mask"), len(ds), model.cfg.hidden_size
+            )
         out = os.path.join(os.path.abspath(save_dir), f"{mode}.pkl")
         save_embeddings(out, table)
         print(f"Saved {mode} embeddings to {out}")

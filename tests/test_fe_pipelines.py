@@ -392,3 +392,44 @@ class TestClassWeights:
         )
         state, history = solver.fit(train_b, val_b)
         assert np.isfinite(history["loss_values"][0])
+
+
+class TestScannedExport:
+    def test_scanned_export_equals_per_batch_loop(self, meld_like_root):
+        """fe_common.scanned_export_table (the exporters' default: one scan
+        dispatch per shape bucket, one fetch total) writes the same [N, D]
+        table as the reference-shaped per-batch loop
+        (reference text/embeddings.py:69-93)."""
+        import os
+        import sys
+
+        sys.path.insert(0, os.path.join(os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__))), "src", "feature_extractors"))
+        from fe_common import export_embedding_table, scanned_export_table
+
+        root, _ = meld_like_root
+        tok = ToyWhitespaceTokenizer(vocab_size=SMALL_ROBERTA.vocab_size)
+        ds = TextFeatureDataset("train", tok, data_root=root)
+        model = TextERC(SMALL_ROBERTA)
+        dl = TextBatcher(ds, batch_size=4, buckets=(8, 16, 32, 64))
+        b0 = next(iter(dl))
+        params = model.init(
+            jax.random.PRNGKey(0), jnp.asarray(b0["text"]), jnp.asarray(b0["attention_mask"])
+        )["params"]
+        embed = jax.jit(
+            lambda p, ids, m: model.apply({"params": p}, ids, m, method=TextERC.embed)
+        )
+
+        batches = []
+        for b in TextBatcher(ds, batch_size=4, buckets=(8, 16, 32, 64)):
+            emb = embed(params, jnp.asarray(b["text"]), jnp.asarray(b["attention_mask"]))
+            valid = b["emotion"] != -1
+            batches.append((b["idx"][valid], np.asarray(emb)[valid]))
+        ref = export_embedding_table(batches, len(ds), model.cfg.hidden_size)
+
+        got = scanned_export_table(
+            embed, params, TextBatcher(ds, batch_size=4, buckets=(8, 16, 32, 64)),
+            ("text", "attention_mask"), len(ds), model.cfg.hidden_size,
+        )
+        assert got.shape == ref.shape
+        np.testing.assert_allclose(got, ref, rtol=1e-6, atol=1e-6)
