@@ -77,7 +77,9 @@ def bench_fusion(results: dict) -> None:
     dev_batcher = DeviceFusionBatcher(ds, batch_size=BATCH, shuffle=True, seed=0)
     state = solver.init_state(next(iter(dev_batcher)), steps_per_epoch=len(dev_batcher))
     solver._build_steps()
-    rng = jax.random.PRNGKey(0)
+    from mer_tpu.utils.rng import dropout_key
+
+    rng = dropout_key(0, None)  # the production dropout stream (Solver.train)
 
     # per-step dispatch path (the round-1 number, kept for comparison)
     for b in dev_batcher:
@@ -536,7 +538,9 @@ def bench_fe_train(results: dict) -> None:
     def timed_steps(solver, batch, n_items, label, iters=20, flops_per_step=None):
         state = solver.init_state(batch, steps_per_epoch=iters)
         dev = jax.tree.map(jnp.asarray, batch)
-        key = jax.random.PRNGKey(0)
+        from mer_tpu.utils.rng import dropout_key
+
+        key = dropout_key(0, None)
         state, loss = solver._step_finetune(state, dev, key)
         float(loss)  # compile + sync
         t0 = time.perf_counter()
@@ -734,7 +738,9 @@ def bench_mel_pipeline(results: dict, data_root: str) -> None:
     ]:
         solver = MelSolver(AudioMelFeatureExtractor(dtype=dtype), cfg, train, val)
         state = solver.init_state()
-        rng = jax.random.PRNGKey(0)
+        from mer_tpu.utils.rng import dropout_key
+
+        rng = dropout_key(0, None)
         state, _ = solver.train_epoch(state, 0, rng)
         t0 = time.perf_counter()
         state, _ = solver.train_epoch(state, 1, rng)

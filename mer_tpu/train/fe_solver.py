@@ -41,6 +41,7 @@ from mer_tpu.train.checkpoint import (
 )
 from mer_tpu.train.solver import constant_with_warmup, torch_adamw
 from mer_tpu.utils.logging import RunLogger
+from mer_tpu.utils.rng import dropout_key
 
 
 class FESolver:
@@ -300,7 +301,7 @@ class FESolver:
             example = next(iter(train_batcher))
             state = self.init_state(example, steps_per_epoch=len(train_batcher))
 
-        rng = jax.random.PRNGKey(self.seed + 1)
+        rng = dropout_key(self.seed + 1, cfg.get_path("tpu.dropout_prng", None))
         min_loss_val = float("inf")
         patience_counter = 0
         history = {"loss_values": [], "val_loss_values": []}

@@ -32,6 +32,7 @@ from mer_tpu.objectives.embedding import make_embedding_loss
 from mer_tpu.train.checkpoint import load_checkpoint, restore_into, save_checkpoint
 from mer_tpu.train.solver import TrainState, optimizer_from_config
 from mer_tpu.utils.logging import RunLogger
+from mer_tpu.utils.rng import dropout_key
 
 
 class MelSolver:
@@ -294,7 +295,7 @@ class MelSolver:
             if restored["extra"].get("batch_stats"):
                 self._batch_stats = restore_into(self._batch_stats, restored["extra"]["batch_stats"])
 
-        rng = jax.random.PRNGKey(self.seed + 1)
+        rng = dropout_key(self.seed + 1, cfg.get_path("tpu.dropout_prng", None))
         history = {"loss_values": [], "val_loss_values": []}
         viz_each_epoch = bool(cfg.get_path("DEBUG.visualize_during_training", False))
 

@@ -36,6 +36,7 @@ from mer_tpu.data.prefetch import prefetch
 from mer_tpu.objectives.classification import cross_entropy
 from mer_tpu.objectives.metrics import BatchAveragedMetrics
 from mer_tpu.parallel.mesh import batch_sharding, shard_params
+from mer_tpu.utils.rng import dropout_key
 from mer_tpu.train.checkpoint import (
     AsyncCheckpointer, load_checkpoint_auto, remove_checkpoint, restore_into,
     save_checkpoint_auto,
@@ -349,7 +350,7 @@ class Solver:
             patience_counter = int(restored["extra"].get("patience_counter", 0))
             self.logger.print(f"Resumed from {load_path} at epoch {start_epoch}")
 
-        rng = jax.random.PRNGKey(self.seed + 1)
+        rng = dropout_key(self.seed + 1, cfg.get_path("tpu.dropout_prng", None))
         history: dict[str, list] = {"loss_values": [], "val_loss_values": []}
         # background checkpoint writes (multi-GB at full size) never stall epochs
         ckpt_writer = (

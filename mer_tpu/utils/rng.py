@@ -1,0 +1,36 @@
+"""Dropout PRNG selection.
+
+The reference samples dropout masks through torch's global CUDA/CPU RNG
+(implicit in every ``nn.Dropout``; e.g. /root/reference/src/model.py:57).
+The RNG *stream* is not part of the behavioral contract — only the Bernoulli
+distribution is — so the TPU build is free to pick the cheapest generator.
+
+JAX's default threefry2x32 is a long VPU op chain per 32 output bits; the
+M2FNet train step materializes ~140M mask elements per forward (12 encoder
+layers x [B,U,768]/[B,U,3072] residual+FF masks + attention-prob masks + 5
+FAM layers at dropout 0.4), so mask generation is pure VPU overhead on the
+MXU-bound step. ``rbg`` lowers to the TPU's hardware RngBitGenerator
+instruction instead. Measured on the v5e (scripts/profile_fusion_train.py):
+see ROADMAP §round-4 for the committed numbers that set the default here.
+
+``dropout_key(seed)`` returns a typed key whose impl is chosen by
+``impl``: "rbg", "threefry2x32", or None/"auto" = rbg on TPU, threefry
+elsewhere (CPU tests keep the cross-run-stable default stream).
+"""
+
+from __future__ import annotations
+
+import jax
+
+_IMPLS = ("auto", "rbg", "threefry2x32")
+
+
+def dropout_key(seed: int, impl: str | None = None) -> jax.Array:
+    """Typed PRNG key for dropout streams. impl: None/"auto" | "rbg" |
+    "threefry2x32"."""
+    impl = impl or "auto"
+    if impl not in _IMPLS:
+        raise ValueError(f"dropout_prng must be one of {_IMPLS}, got {impl!r}")
+    if impl == "auto":
+        impl = "rbg" if jax.default_backend() == "tpu" else "threefry2x32"
+    return jax.random.key(seed, impl=impl)

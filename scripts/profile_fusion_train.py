@@ -1,13 +1,24 @@
-"""Decompose the fusion train step's wall clock (BENCH_LOCAL shows ~8.8%
-MFU): measure the jitted step under ablations — dropout off, cheaper PRNG
-(rbg vs threefry), inference-only forward — to locate where the non-matmul
-time goes. Device-chained timing (CLAUDE.md gotcha 6/8).
+"""Decompose the fusion train step's wall clock (BENCH_LOCAL: 22.6% MFU at
+the tuned batch 256 vs a roofline floor of ~13.6 ms/step against a measured
+~41.8 ms/step — ~28 ms/step is neither peak-GEMM nor HBM-floor time).
 
-Usage: python scripts/profile_fusion_train.py
+Ablations per batch size: fwd-only, adam-only, full step with dropout
+(threefry), full step with the TPU hardware PRNG (rbg) for the dropout
+masks, full step without dropout, and grads-without-optimizer. The model
+has ~140M dropout-mask elements per forward (12 encoder layers x
+[B,U,768]/[B,U,3072] masks + 5 FAM layers), so mask generation is the
+prime suspect: threefry2x32 is a long VPU op chain per 32 bits, while
+rbg lowers to the TPU's RngBitGenerator instruction.
+
+Device-chained timing (CLAUDE.md gotcha 6/8): params are carried through
+the loop so steps chain; one value fetch at the end.
+
+Usage: python scripts/profile_fusion_train.py [b1 b2 ...]  (default 32 256)
 """
 
 from __future__ import annotations
 
+import json
 import os
 import sys
 import time
@@ -26,10 +37,25 @@ from mer_tpu.objectives.classification import cross_entropy
 from mer_tpu.train.solver import torch_adam
 
 
-def timed(fn, args, iters=30):
+def timed_chained(step, params, opt_state, key, iters=20):
+    """Time a (params, opt_state, key) -> (params, opt_state, loss) step with
+    the param tree chained through the loop (true per-step cost, one fetch).
+    The step donates its state args, so work on copies — the caller's trees
+    stay valid for the next ablation."""
+    p = jax.tree.map(jnp.copy, params)
+    s = jax.tree.map(jnp.copy, opt_state)
+    p, s, loss = step(p, s, key)
+    np.asarray(loss).ravel()[:1]
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        p, s, loss = step(p, s, key)
+    np.asarray(loss).ravel()[:1]
+    return (time.perf_counter() - t0) / iters * 1e3
+
+
+def timed(fn, args, iters=20):
     out = fn(*args)
-    jax.tree.leaves(out)[0].block_until_ready()
-    np.asarray(jax.tree.leaves(out)[0]).ravel()[:1]  # execution-verified sync
+    np.asarray(jax.tree.leaves(out)[0]).ravel()[:1]
     t0 = time.perf_counter()
     last = None
     for _ in range(iters):
@@ -38,8 +64,7 @@ def timed(fn, args, iters=30):
     return (time.perf_counter() - t0) / iters * 1e3
 
 
-def main():
-    b, u, d = 32, 8, 768
+def profile_batch(b, u=8, d=768):
     rng = np.random.default_rng(0)
     text = jnp.asarray(rng.normal(size=(b, u, d)).astype(np.float32))
     audio = jnp.asarray(rng.normal(size=(b, u, d)).astype(np.float32))
@@ -51,8 +76,9 @@ def main():
     opt = torch_adam(5e-5, weight_decay=0.01)
     opt_state = opt.init(params)
     key = jax.random.PRNGKey(1)
+    key_rbg = jax.random.key(1, impl="rbg")
 
-    def make_step(deterministic):
+    def make_step(deterministic, with_opt=True):
         def step(params, opt_state, key):
             def loss_fn(p):
                 logits = model.apply(
@@ -63,14 +89,20 @@ def main():
                 return cross_entropy(logits, emotion, label_smoothing=0.1, ignore_index=-1)
 
             loss, grads = jax.value_and_grad(loss_fn)(params)
+            if not with_opt:
+                return params, opt_state, loss
             updates, new_opt = opt.update(grads, opt_state, params)
             return optax.apply_updates(params, updates), new_opt, loss
 
-        return jax.jit(step)
+        return jax.jit(step, donate_argnums=(0, 1))
 
     def fwd_only(params, key):
         logits = model.apply({"params": params}, text, audio, mask,
                              deterministic=False, rngs={"dropout": key})
+        return cross_entropy(logits, emotion, label_smoothing=0.1, ignore_index=-1)
+
+    def fwd_eval(params):
+        logits = model.apply({"params": params}, text, audio, mask, deterministic=True)
         return cross_entropy(logits, emotion, label_smoothing=0.1, ignore_index=-1)
 
     def adam_only(params, opt_state):
@@ -78,20 +110,25 @@ def main():
         updates, new_opt = opt.update(grads, opt_state, params)
         return optax.apply_updates(params, updates), new_opt
 
+    r = {}
+    r["fwd_eval_ms"] = timed(jax.jit(fwd_eval), (params,))
+    r["fwd_dropout_ms"] = timed(jax.jit(fwd_only), (params, key))
+    r["fwd_dropout_rbg_ms"] = timed(jax.jit(fwd_only), (params, key_rbg))
+    r["adam_update_ms"] = timed(jax.jit(adam_only), (params, opt_state))
+    r["grads_nodrop_ms"] = timed_chained(make_step(True, with_opt=False), params, opt_state, key)
+    r["step_nodrop_ms"] = timed_chained(make_step(True), params, opt_state, key)
+    r["step_dropout_ms"] = timed_chained(make_step(False), params, opt_state, key)
+    r["step_dropout_rbg_ms"] = timed_chained(make_step(False), params, opt_state, key_rbg)
+    return {k: round(v, 2) for k, v in r.items()}
+
+
+def main():
+    batches = [int(a) for a in sys.argv[1:]] or [32, 256]
     results = {}
-    results["fwd_dropout_ms"] = timed(jax.jit(fwd_only), (params, key))
-    results["adam_update_ms"] = timed(jax.jit(adam_only), (params, opt_state))
-    results["step_dropout_ms"] = timed(make_step(False), (params, opt_state, key))
-    results["step_nodrop_ms"] = timed(make_step(True), (params, opt_state, key))
-
-    # cheaper PRNG for the dropout masks (TPU-native: threefry is VPU-heavy)
-    jax.config.update("jax_default_prng_impl", "rbg")
-    key_rbg = jax.random.PRNGKey(2)
-    results["step_dropout_rbg_ms"] = timed(make_step(False), (params, opt_state, key_rbg))
-    jax.config.update("jax_default_prng_impl", "threefry2x32")
-
-    for k, v in results.items():
-        print(f"{k}: {v:.2f}")
+    for b in batches:
+        results[f"b{b}"] = profile_batch(b)
+        print(f"b{b}: {results[f'b{b}']}", flush=True)
+    print(json.dumps(results))
 
 
 if __name__ == "__main__":
