@@ -221,13 +221,40 @@ class FESolver:
                     return new_state, loss, watch_norms(grads, new_params, self.logger.watch_log)
                 return new_state, loss
 
-            return jax.jit(step_fn, donate_argnums=(0,))
+            return step_fn
 
-        self._step_frozen = make_step(self.opt_frozen, "frozen_opt", advance_step=False)
-        self._step_finetune = make_step(self.opt_finetune, "finetune_opt", advance_step=True)
+        raw_frozen = make_step(self.opt_frozen, "frozen_opt", advance_step=False)
+        raw_finetune = make_step(self.opt_finetune, "finetune_opt", advance_step=True)
+        self._step_frozen = jax.jit(raw_frozen, donate_argnums=(0,))
+        self._step_finetune = jax.jit(raw_finetune, donate_argnums=(0,))
+
+        def make_scan(raw_step):
+            """k same-shape train steps as ONE XLA program (lax.scan over a
+            [k, B, ...] batch stack). Per-step jit dispatch blocks the host
+            ~25-30 ms on tunneled dev hosts (BENCH fusion_latency_*_dispatch
+            + the r5 fusion-train decomposition: the per-group dispatch was
+            ~40% of the tuned epoch wall) — chunking pays it once per k
+            steps. Numerically identical to the stepwise loop: the same
+            step_fn body, state carried through the scan."""
+
+            def scan_fn(state, stacked, rng):
+                def body(carry, batch):
+                    return raw_step(carry, batch, rng)
+
+                state, losses = jax.lax.scan(body, state, stacked)
+                return state, jnp.sum(losses)
+
+            return jax.jit(scan_fn, donate_argnums=(0,))
+
+        self._scan_frozen = make_scan(raw_frozen)
+        self._scan_finetune = make_scan(raw_finetune)
         if self.logger.wants_watch_logs:
-            self._step_frozen_watched = make_step(self.opt_frozen, "frozen_opt", advance_step=False, watched=True)
-            self._step_finetune_watched = make_step(self.opt_finetune, "finetune_opt", advance_step=True, watched=True)
+            self._step_frozen_watched = jax.jit(
+                make_step(self.opt_frozen, "frozen_opt", advance_step=False, watched=True),
+                donate_argnums=(0,))
+            self._step_finetune_watched = jax.jit(
+                make_step(self.opt_finetune, "finetune_opt", advance_step=True, watched=True),
+                donate_argnums=(0,))
 
         def eval_step(params, batch):
             if pp_fn is not None:
@@ -246,6 +273,15 @@ class FESolver:
         step_fn = self._step_frozen if is_frozen else self._step_finetune
         sync_every_step = self.logger.wants_step_logs
         watch_every = self.logger.watch_freq if self.logger.wants_watch_logs else 0
+        # chunked-scan fast path: k same-shape steps per dispatch (see
+        # make_scan). Single-device, no per-step logging/watching, no pp —
+        # the conditions under which the stepwise loop's only difference is
+        # its per-step host dispatch cost.
+        chunk = int(self.config.get_path("tpu.train_scan_chunk", 8) or 0)
+        if (chunk > 1 and self.mesh is None and not sync_every_step
+                and not watch_every and self.pp_logits_fn is None):
+            scan_fn = self._scan_frozen if is_frozen else self._scan_finetune
+            return self._train_epoch_chunked(state, batcher, scan_fn, step_fn, rng, chunk)
         watched_fn = (
             (self._step_frozen_watched if is_frozen else self._step_finetune_watched)
             if watch_every else None
@@ -266,6 +302,43 @@ class FESolver:
                 losses.append(loss)
         if not sync_every_step:
             total = float(jnp.sum(jnp.stack(losses))) if losses else 0.0
+        return state, total / max(batches, 1)
+
+    def _train_epoch_chunked(self, state, batcher, scan_fn, step_fn, rng, chunk: int):
+        """Group same-shape host batches into [chunk, B, ...] stacks and run
+        each stack as one scanned program; leftovers (fewer than ``chunk``
+        same-shape batches) run through the stepwise jit. Steps execute in a
+        shape-grouped order rather than arrival order — the same reordering
+        the fusion batcher's sort_by_length already applies; per-step rng
+        still folds on the carried optimizer step counter."""
+        pending: dict[tuple, list] = {}
+        losses, batches = [], 0
+
+        def flush(group):
+            nonlocal state
+            stacked = {
+                k: jnp.asarray(np.stack([b[k] for b in group])) for k in group[0]
+            }
+            state_, loss_sum = scan_fn(state, stacked, rng)
+            state = state_
+            losses.append(loss_sum)
+
+        for batch in batcher:
+            # shape signature without touching device values (np.asarray on a
+            # device array would be a tunnel round trip per key)
+            sig = tuple(sorted((k, tuple(np.shape(v)), str(getattr(v, "dtype", type(v))))
+                               for k, v in batch.items()))
+            group = pending.setdefault(sig, [])
+            group.append(batch)
+            batches += 1
+            if len(group) == chunk:
+                flush(group)
+                pending[sig] = []
+        for group in pending.values():  # leftovers: stepwise
+            for batch in group:
+                state, loss = step_fn(state, jax.tree.map(jnp.asarray, batch), rng)
+                losses.append(loss)
+        total = float(jnp.sum(jnp.stack(losses))) if losses else 0.0
         return state, total / max(batches, 1)
 
     def evaluate(self, params, batcher) -> tuple[float, BatchAveragedMetrics]:

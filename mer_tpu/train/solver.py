@@ -229,11 +229,39 @@ class Solver:
             state, losses = jax.lax.scan(body, state, idx_all)
             return state, jnp.sum(losses)
 
+        def scan_train_epoch(state: TrainState, idx_groups, text_all, audio_all, emotion_all, rng,
+                             buckets: tuple):
+            """The WHOLE epoch as one XLA program: every bucket group's scan
+            chained inside a single jit. The per-bucket path pays one host
+            dispatch block (~25-30 ms on tunneled dev hosts,
+            fusion_latency_*_dispatch_ms) per group — measured r5, that was
+            ~40% of the tuned epoch wall (sum-of-regions 8.9 ms fwd+bwd +
+            2.8 Adam + 1.0 gather per u=8 step vs 41.8 ms/step observed;
+            scripts/profile_fusion_regions.py). One program -> one block.
+            ``idx_groups`` is a tuple of [n_steps_g, B] arrays, one per
+            static bucket width in ``buckets``."""
+            from mer_tpu.data.fusion import gather_fusion_batch
+
+            total = jnp.float32(0)
+            for idx_all, bucket in zip(idx_groups, buckets):
+                def body(carry, idx_row, _b=bucket):
+                    batch = gather_fusion_batch(text_all, audio_all, emotion_all, idx_row, _b)
+                    new_state, loss = train_step(carry, batch, rng)
+                    return new_state, loss
+
+                state, losses = jax.lax.scan(body, state, idx_all)
+                total = total + jnp.sum(losses)
+            return state, total
+
         donate = bool(self.config.get_path("tpu.donate_state", True))
         self._train_step = jax.jit(train_step, donate_argnums=(0,) if donate else ())
         self._train_step_watched = jax.jit(train_step_watched, donate_argnums=(0,) if donate else ())
         self._scan_train = jax.jit(
             scan_train, static_argnames=("bucket",), donate_argnums=(0,) if donate else ()
+        )
+        self._scan_train_epoch = jax.jit(
+            scan_train_epoch, static_argnames=("buckets",),
+            donate_argnums=(0,) if donate else (),
         )
         self._eval_step = jax.jit(eval_step)
 
@@ -279,16 +307,21 @@ class Solver:
 
     def _train_epoch_scanned(self, state: TrainState, batcher, rng) -> tuple[TrainState, float]:
         text_all, audio_all, emotion_all = batcher.arrays
-        loss_sums = []
-        steps = 0
-        for bucket, idx in batcher.epoch_index_plan():
-            state, loss_sum = self._scan_train(
-                state, idx, text_all, audio_all, emotion_all, rng, bucket
-            )
-            loss_sums.append(loss_sum)
-            steps += int(idx.shape[0])
-        total = float(jnp.sum(jnp.stack(loss_sums))) if loss_sums else 0.0
-        return state, total / max(steps, 1)
+        plan = list(batcher.epoch_index_plan())
+        if not plan:
+            return state, 0.0
+        steps = sum(int(idx.shape[0]) for _, idx in plan)
+        # the whole epoch is ONE dispatch (scan_train_epoch): bucket widths
+        # are static jit args, [n_steps_g, B] index shapes are stable across
+        # epochs (the batcher's bucket composition is shuffle-invariant), so
+        # this compiles once and every epoch pays a single host dispatch
+        # block instead of one per bucket group
+        buckets = tuple(bucket for bucket, _ in plan)
+        idx_groups = tuple(idx for _, idx in plan)
+        state, loss_sum = self._scan_train_epoch(
+            state, idx_groups, text_all, audio_all, emotion_all, rng, buckets
+        )
+        return state, float(loss_sum) / max(steps, 1)
 
     def evaluate(self, params, batcher) -> tuple[float, BatchAveragedMetrics]:
         if self._eval_step is None:

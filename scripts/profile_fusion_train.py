@@ -78,8 +78,13 @@ def profile_batch(b, u=8, d=768):
     key = jax.random.PRNGKey(1)
     key_rbg = jax.random.key(1, impl="rbg")
 
+    # batch arrays travel as jit ARGUMENTS — closing over them embeds ~19 MB
+    # of HLO constants at b=256, the remote compiler's HTTP-413 failure mode
+    # (CLAUDE.md gotcha 3)
+    batch = (text, audio, mask, emotion)
+
     def make_step(deterministic, with_opt=True):
-        def step(params, opt_state, key):
+        def step(params, opt_state, key, text, audio, mask, emotion):
             def loss_fn(p):
                 logits = model.apply(
                     {"params": p}, text, audio, mask,
@@ -94,14 +99,15 @@ def profile_batch(b, u=8, d=768):
             updates, new_opt = opt.update(grads, opt_state, params)
             return optax.apply_updates(params, updates), new_opt, loss
 
-        return jax.jit(step, donate_argnums=(0, 1))
+        jstep = jax.jit(step, donate_argnums=(0, 1))
+        return lambda p, s, k: jstep(p, s, k, *batch)
 
-    def fwd_only(params, key):
+    def fwd_only(params, key, text, audio, mask, emotion):
         logits = model.apply({"params": params}, text, audio, mask,
                              deterministic=False, rngs={"dropout": key})
         return cross_entropy(logits, emotion, label_smoothing=0.1, ignore_index=-1)
 
-    def fwd_eval(params):
+    def fwd_eval(params, text, audio, mask, emotion):
         logits = model.apply({"params": params}, text, audio, mask, deterministic=True)
         return cross_entropy(logits, emotion, label_smoothing=0.1, ignore_index=-1)
 
@@ -110,10 +116,12 @@ def profile_batch(b, u=8, d=768):
         updates, new_opt = opt.update(grads, opt_state, params)
         return optax.apply_updates(params, updates), new_opt
 
+    jfwd_eval = jax.jit(fwd_eval)
+    jfwd_only = jax.jit(fwd_only)
     r = {}
-    r["fwd_eval_ms"] = timed(jax.jit(fwd_eval), (params,))
-    r["fwd_dropout_ms"] = timed(jax.jit(fwd_only), (params, key))
-    r["fwd_dropout_rbg_ms"] = timed(jax.jit(fwd_only), (params, key_rbg))
+    r["fwd_eval_ms"] = timed(jfwd_eval, (params, *batch))
+    r["fwd_dropout_ms"] = timed(jfwd_only, (params, key, *batch))
+    r["fwd_dropout_rbg_ms"] = timed(jfwd_only, (params, key_rbg, *batch))
     r["adam_update_ms"] = timed(jax.jit(adam_only), (params, opt_state))
     r["grads_nodrop_ms"] = timed_chained(make_step(True, with_opt=False), params, opt_state, key)
     r["step_nodrop_ms"] = timed_chained(make_step(True), params, opt_state, key)
