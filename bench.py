@@ -144,7 +144,7 @@ def bench_scanned(batcher, n_utterances: int, repeats: int = 3,
     def predict_int8(p, b):
         return jnp.argmax(server.apply(p, b["text"], b["audio"], b["padding_mask"]), -1)
 
-    results = []
+    results, spreads = [], []
     for predict, p in [(predict_bf16, bf16_params), (predict_int8, qparams),
                        (predict_int8, wparams)]:
         sp = ScanPredictor(predict)
@@ -163,7 +163,11 @@ def bench_scanned(batcher, n_utterances: int, repeats: int = 3,
             np.asarray(last)  # in-order execution: syncs everything above
             times.append((time.perf_counter() - t0) / inner)
         results.append(n_utterances / min(times))
-    return tuple(results)
+        # run-to-run spread of the SAME measurement (max/min of the repeats,
+        # as a % of the best) — any "winner" whose margin over the runner-up
+        # sits inside the combined spread is a tie, not a ranking
+        spreads.append((max(times) - min(times)) / min(times) * 100.0)
+    return tuple(results), tuple(spreads)
 
 
 def bench_tpu(batcher, n_utterances: int, repeats: int = 3) -> tuple[float, float]:
@@ -376,11 +380,11 @@ def main():
         return
     device_resident, streaming = bench_tpu(batcher, n_utterances)
     int8 = bench_int8(batcher, n_utterances)
-    scanned_bf16, scanned_int8, scanned_w8 = bench_scanned(batcher, n_utterances)
+    (scanned_bf16, scanned_int8, scanned_w8), scanned_spread = bench_scanned(batcher, n_utterances)
     # TPU-tuned serving batch: same split, same per-dialogue predictions,
     # bigger GEMMs (recollate_batches — the reference's batch 32 is a GPU
     # artifact that starves the MXU)
-    big_bf16, big_int8, big_w8 = bench_scanned(batcher, n_utterances, serving_batch=512)
+    (big_bf16, big_int8, big_w8), big_spread = bench_scanned(batcher, n_utterances, serving_batch=512)
     modes = {
         "bf16": device_resident,
         "int8": int8,
@@ -391,14 +395,29 @@ def main():
         "bigbatch_int8": big_int8,
         "bigbatch_w8": big_w8,
     }
-    best_mode = max(modes, key=modes.get)
+    ranked = sorted(modes, key=modes.get, reverse=True)
+    best_mode, runner_up = ranked[0], ranked[1]
     best = modes[best_mode]
+    # a "winner" whose margin over the runner-up is inside the measured
+    # run-to-run spread is a TIE (VERDICT r4: the bf16-vs-int8 bigbatch
+    # ordering flips between same-day runs at 1-4% margins)
+    spread_by_mode = dict(zip(
+        ("scanned_bf16", "scanned_int8", "scanned_w8"), scanned_spread))
+    spread_by_mode.update(zip(
+        ("bigbatch_bf16", "bigbatch_int8", "bigbatch_w8"), big_spread))
+    margin_pct = (best - modes[runner_up]) / modes[runner_up] * 100.0
+    pair_spread = max(spread_by_mode.get(best_mode, 5.0),
+                      spread_by_mode.get(runner_up, 5.0))
     print(
         json.dumps(
             {
                 "metric": "MELD-test-shaped M2FNet fusion inference throughput (utterances/sec/chip, device-resident inputs, best of 8 serving modes)",
                 "value": round(best, 1),
                 "best_mode": best_mode,
+                "best_mode_is_tie": bool(margin_pct <= pair_spread),
+                "runner_up_mode": runner_up,
+                "winner_margin_pct": round(margin_pct, 2),
+                "winner_spread_pct": round(pair_spread, 2),
                 "unit": "utterances/sec",
                 "vs_baseline": round(best / baseline, 2),
                 "bf16_value": round(device_resident, 1),
@@ -409,6 +428,8 @@ def main():
                 "bigbatch_bf16_value": round(big_bf16, 1),
                 "bigbatch_int8_value": round(big_int8, 1),
                 "bigbatch_w8_value": round(big_w8, 1),
+                "scanned_spread_pct": [round(s, 2) for s in scanned_spread],
+                "bigbatch_spread_pct": [round(s, 2) for s in big_spread],
                 "streaming_value": round(streaming, 1),
                 "baseline_torch_cpu": round(baseline, 1),
             }

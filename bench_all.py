@@ -59,10 +59,11 @@ def bench_fusion(results: dict) -> None:
     # the split FLOPs, so the same analytic numerator applies)
     from bench import bench_scanned
 
-    big_bf16, big_int8, big_w8 = bench_scanned(batcher, n_utt, serving_batch=512)
+    (big_bf16, big_int8, big_w8), big_spread = bench_scanned(batcher, n_utt, serving_batch=512)
     results["fusion_inference_bigbatch_bf16_utt_per_s"] = round(big_bf16, 1)
     results["fusion_inference_bigbatch_int8_utt_per_s"] = round(big_int8, 1)
     results["fusion_inference_bigbatch_w8_utt_per_s"] = round(big_w8, 1)
+    results["fusion_inference_bigbatch_spread_pct"] = [round(s, 2) for s in big_spread]
     tflops, frac = mfu(split_flops, n_utt / big_bf16, V5E_PEAK_BF16)
     results["fusion_inference_bigbatch_bf16_mfu_pct"] = round(frac * 100, 1)
     results["fusion_inference_bigbatch_bf16_tflops"] = round(tflops, 1)
@@ -79,7 +80,11 @@ def bench_fusion(results: dict) -> None:
     solver._build_steps()
     from mer_tpu.utils.rng import dropout_key
 
-    rng = dropout_key(0, None)  # the production dropout stream (Solver.train)
+    # the production dropout stream (Solver.fit: dropout_key(tpu.seed + 1,
+    # tpu.dropout_prng)) — read both from the loaded config so a config
+    # override cannot silently diverge bench from production
+    rng = dropout_key(int(cfg.get_path("tpu.seed", 0)) + 1,
+                      cfg.get_path("tpu.dropout_prng", None))
 
     # per-step dispatch path (the round-1 number, kept for comparison)
     for b in dev_batcher:
@@ -176,6 +181,24 @@ def bench_fusion(results: dict) -> None:
         "b32": _train_roofline(wall32, epoch_flops32, len(dev_batcher)),
         "b256": _train_roofline(wall_tuned, epoch_flops_tuned, len(tuned_batcher)),
     }
+
+
+def bench_fusion_train_decomposition(results: dict) -> None:
+    """Committed per-ablation decomposition of the tuned fusion train step
+    (VERDICT r4 #2 + ADVICE r4 #1: the rbg-vs-threefry numbers behind the
+    tpu.dropout_prng default belong in a committed file). Runs the
+    scripts/profile_fusion_train.py ablations at the tuned batch 256:
+    fwd eval / fwd+dropout (threefry vs rbg) / Adam-only / grads-only /
+    full step (nodrop, threefry, rbg). Device-chained timings."""
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location(
+        "profile_fusion_train",
+        os.path.join(REPO_ROOT, "scripts", "profile_fusion_train.py"),
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    results["fusion_train_decomposition_b256"] = mod.profile_batch(256)
 
 
 def bench_fusion_latency(results: dict) -> None:
@@ -326,6 +349,52 @@ def bench_online_serving(results: dict) -> None:
     results["online_serving_latency_ms_p99"] = round(stats["latency_ms_p99"], 2)
     results["online_serving_mean_batch"] = round(stats["mean_batch_size"], 1)
     results["online_serving_occupancy"] = round(stats["occupancy"], 3)
+
+    # --- arrival-rate sweep (VERDICT r4 #6): the burst above is one load
+    # point at saturation; operators need the saturation knee and the max
+    # sustained rate within a latency budget. Poisson arrivals at each
+    # target rate for ~2 s of traffic; per-rate p50/p99, achieved rate,
+    # mean batch and padding efficiency (ServerStats.occupancy — fraction
+    # of padded [b, u] compute doing real work).
+    P99_BUDGET_MS = 200.0
+    arrival_rng = np.random.default_rng(7)
+    sweep = []
+    for rate in (125, 250, 500, 750, 1000, 1500):
+        n_req = min(int(rate * 2.0), 1200)
+        picks = arrival_rng.integers(0, len(reqs), size=n_req)
+        gaps = arrival_rng.exponential(1.0 / rate, size=n_req)
+        sched = np.cumsum(gaps)
+        server = OnlineServer(predict_np, max_batch=64, max_wait_ms=2.0)
+        try:
+            futures = []
+            t0 = time.perf_counter()
+            for k in range(n_req):
+                delay = sched[k] - (time.perf_counter() - t0)
+                if delay > 0:
+                    time.sleep(delay)
+                t, a = reqs[picks[k]]
+                futures.append(server.submit(t, a))
+            for f in futures:
+                f.result(timeout=600)
+            dt = time.perf_counter() - t0
+            stats = server.stats.snapshot()
+        finally:
+            server.close()
+        sweep.append({
+            "offered_rate": rate,
+            "achieved_rate": round(n_req / dt, 1),
+            "p50_ms": round(stats["latency_ms_p50"], 2),
+            "p99_ms": round(stats["latency_ms_p99"], 2),
+            "mean_batch": round(stats["mean_batch_size"], 1),
+            "occupancy": round(stats["occupancy"], 3),
+        })
+    results["online_serving_sweep"] = sweep
+    results["online_serving_p99_budget_ms"] = P99_BUDGET_MS
+    within = [s for s in sweep if s["p99_ms"] <= P99_BUDGET_MS
+              and s["achieved_rate"] >= 0.9 * s["offered_rate"]]
+    results["online_serving_max_rate_within_p99_budget"] = (
+        max(s["achieved_rate"] for s in within) if within else None
+    )
 
 
 def bench_fe_export_int8(results: dict) -> None:
@@ -540,7 +609,10 @@ def bench_fe_train(results: dict) -> None:
         dev = jax.tree.map(jnp.asarray, batch)
         from mer_tpu.utils.rng import dropout_key
 
-        key = dropout_key(0, None)
+        # production stream: FESolver.fit uses dropout_key(tpu.seed + 1,
+        # tpu.dropout_prng) from the pipeline config
+        key = dropout_key(int(cfg.get_path("tpu.seed", 0)) + 1,
+                          cfg.get_path("tpu.dropout_prng", None))
         state, loss = solver._step_finetune(state, dev, key)
         float(loss)  # compile + sync
         t0 = time.perf_counter()
@@ -740,7 +812,9 @@ def bench_mel_pipeline(results: dict, data_root: str) -> None:
         state = solver.init_state()
         from mer_tpu.utils.rng import dropout_key
 
-        rng = dropout_key(0, None)
+        # production stream (Solver.fit convention: seed+1, config impl)
+        rng = dropout_key(int(cfg.get_path("tpu.seed", 0)) + 1,
+                          cfg.get_path("tpu.dropout_prng", None))
         state, _ = solver.train_epoch(state, 0, rng)
         t0 = time.perf_counter()
         state, _ = solver.train_epoch(state, 1, rng)
@@ -813,13 +887,18 @@ def fusion_roofline(results: dict) -> None:
 
 
 def bench_e2e(results: dict, data_root: str) -> None:
-    """Streaming end-to-end throughput, both audio branches: wav2vec2
-    (default) and `--audio mel` (on-device log-mel -> ResNet18, the
-    reference's embeddings-dir switch streamed)."""
+    """Streaming end-to-end throughput at MELD-test scale (280 dialogues /
+    2608 usable utterances, realistic durations — scripts/make_synthetic_meld
+    --meld-shape): wav2vec2 branch in bf16 and int8, and `--audio mel`
+    (on-device log-mel -> ResNet18, the reference's embeddings-dir switch
+    streamed). Reference scope: SURVEY §3.5 + BASELINE.json config 5."""
     import subprocess
 
+    results["e2e_split"] = {"dialogues": 280, "utterances": 2608,
+                            "shape": "MELD-test statistics (synthetic)"}
     for extra, key, stages_key in [
         ((), "e2e_streaming_utt_per_s", "e2e_stages"),
+        (("--int8",), "e2e_streaming_int8_utt_per_s", "e2e_int8_stages"),
         (("--audio", "mel"), "e2e_streaming_mel_utt_per_s", "e2e_mel_stages"),
     ]:
         try:
@@ -852,6 +931,128 @@ def bench_e2e(results: dict, data_root: str) -> None:
                   file=sys.stderr)
 
 
+def bench_h2d_link(results: dict) -> None:
+    """Measured host->device link rate (this dev host tunnels; real TPU
+    hosts ride PCIe). The e2e stage-1 wall is attributed against
+    embed_h2d_bytes / this rate."""
+    import jax
+
+    buf = np.zeros((32 * 1024 * 1024,), np.uint8)  # 32 MB
+    jax.block_until_ready(jax.device_put(buf))  # warm the path
+    times = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        jax.block_until_ready(jax.device_put(buf))
+        times.append(time.perf_counter() - t0)
+    results["h2d_link_mb_s"] = round(buf.nbytes / 1e6 / min(times), 1)
+
+
+def bench_e2e_baseline(results: dict, data_root: str) -> None:
+    """Measured torch-CPU denominator for the e2e config (VERDICT r4 #5):
+    a CPU restatement of the reference's sequential chain — the text export
+    loop (text/embeddings.py:69-93), the wav2vec2 export loop
+    (audio_wav2vec2/embeddings.py:68-94) and the fusion eval loop
+    (src/test.py:51-74) — at random-init on the SAME synthetic split the
+    streaming legs run. Per-stage rates are measured on a subset (the loops
+    are linear in N; full-split torch-CPU would take ~an hour) and composed
+    sequentially, exactly how the reference pipeline runs. Cached in
+    .bench_baseline.json (one slow measurement per machine)."""
+    import json as _json
+
+    from bench import BASELINE_CACHE
+
+    CACHE_KEY = "e2e_torch_cpu_meldshape_v1"
+    cache = {}
+    if os.path.exists(BASELINE_CACHE):
+        try:
+            with open(BASELINE_CACHE) as f:
+                cache = _json.load(f)
+        except (OSError, _json.JSONDecodeError):
+            cache = {}
+    if CACHE_KEY in cache:
+        results["e2e_baseline_torch_cpu"] = cache[CACHE_KEY]["utt_per_s"]
+        results["e2e_baseline_torch_cpu_stages"] = cache[CACHE_KEY]["stages"]
+        return
+
+    import torch
+
+    from mer_tpu.data import TextFeatureDataset, ToyWhitespaceTokenizer, Wav2Vec2FeatureDataset
+    from mer_tpu.data.text_fe import pad_tokens_to
+
+    torch.manual_seed(0)
+    text_ds = TextFeatureDataset("test", ToyWhitespaceTokenizer(), data_root=data_root)
+    w2v_ds = Wav2Vec2FeatureDataset("test", data_root=data_root)
+    n_total = len(text_ds)
+    n_sub = min(128, n_total)
+
+    stages = {}
+    with torch.inference_mode():
+        # --- text export loop (reference text/embeddings.py:69-93: forward
+        # -> [CLS] row -> scatter into the [N, 768] table), batch 32
+        from transformers import RobertaConfig as HFRobertaConfig
+        from transformers import RobertaModel
+
+        tmodel = RobertaModel(HFRobertaConfig(vocab_size=50265)).eval()
+        ids_batches = []
+        for i in range(0, n_sub, 32):
+            texts = [text_ds.texts[j] for j in range(i, min(i + 32, n_sub))]
+            ids, mask = text_ds.tokenizer(texts)
+            ids, mask = pad_tokens_to(ids, mask, 128, text_ds.tokenizer.pad_id)
+            ids_batches.append((torch.tensor(np.asarray(ids)), torch.tensor(np.asarray(mask))))
+        tmodel(*ids_batches[0])  # warmup
+        t0 = time.perf_counter()
+        for ids, mask in ids_batches:
+            _ = tmodel(ids, attention_mask=mask).last_hidden_state[:, 0, :]
+        stages["text_utt_per_s"] = round(n_sub / (time.perf_counter() - t0), 2)
+
+        # --- wav2vec2 export loop (audio_wav2vec2/embeddings.py:68-94:
+        # forward -> masked mean pool), batch 8, real split durations
+        from transformers import Wav2Vec2Config as HFW2VConfig
+        from transformers import Wav2Vec2Model
+
+        wmodel = Wav2Vec2Model(HFW2VConfig()).eval()
+        n_wav = min(32, n_total)
+        waves = [w2v_ds.waveform(j) for j in range(n_wav)]
+        wav_batches = []
+        for i in range(0, n_wav, 8):
+            chunk = waves[i : i + 8]
+            width = max(len(w) for w in chunk)
+            buf = np.zeros((len(chunk), width), np.float32)
+            for k, w in enumerate(chunk):
+                buf[k, : len(w)] = w
+            wav_batches.append(torch.tensor(buf))
+        wmodel(wav_batches[0])  # warmup
+        t0 = time.perf_counter()
+        for wb in wav_batches:
+            _ = wmodel(wb).last_hidden_state.mean(dim=1)
+        stages["wav2vec2_utt_per_s"] = round(n_wav / (time.perf_counter() - t0), 2)
+
+    # --- fusion eval loop: the measured headline denominator already covers
+    # it (bench.py bench_torch_cpu over the full MELD-test-shaped workload)
+    from bench import BASELINE_KEY
+
+    fusion_rate = cache.get(BASELINE_KEY)
+    if fusion_rate is None:
+        from bench import _workload, bench_torch_cpu
+
+        batcher, n_utt = _workload()
+        fusion_rate = bench_torch_cpu(batcher, n_utt)
+    stages["fusion_utt_per_s"] = round(float(fusion_rate), 2)
+
+    # sequential composition (the reference runs export, export, then eval)
+    per_utt = sum(1.0 / stages[k] for k in
+                  ("text_utt_per_s", "wav2vec2_utt_per_s", "fusion_utt_per_s"))
+    value = round(1.0 / per_utt, 2)
+    results["e2e_baseline_torch_cpu"] = value
+    results["e2e_baseline_torch_cpu_stages"] = stages
+    cache[CACHE_KEY] = {"utt_per_s": value, "stages": stages}
+    try:
+        with open(BASELINE_CACHE, "w") as f:
+            _json.dump(cache, f)
+    except OSError:
+        pass
+
+
 def main():
     data_root = sys.argv[1] if len(sys.argv) > 1 else "/tmp/meldbig"
     if not os.path.isdir(os.path.join(data_root, "MELD.Raw")):
@@ -862,19 +1063,40 @@ def main():
              data_root, "--dialogues", "120"],
             check=True,
         )
+    # MELD-test-shaped split for the e2e legs (280 dialogues / 2608 usable
+    # utterances, realistic durations)
+    e2e_root = data_root.rstrip("/") + "_meldshape"
+    if not os.path.isdir(os.path.join(e2e_root, "MELD.Raw")):
+        import subprocess
+
+        subprocess.run(
+            [sys.executable, os.path.join(REPO_ROOT, "scripts", "make_synthetic_meld.py"),
+             e2e_root, "--meld-shape"],
+            check=True,
+        )
 
     results: dict = {}
+    bench_h2d_link(results)
     bench_kernels(results)
     bench_logmel(results)
     bench_fusion(results)
     fusion_roofline(results)
+    bench_fusion_train_decomposition(results)
     bench_fusion_latency(results)
     bench_fusion_int8(results)
     bench_online_serving(results)
     bench_fe_export_int8(results)
     bench_fe_train(results)
     bench_mel_pipeline(results, data_root)
-    bench_e2e(results, data_root)
+    bench_e2e_baseline(results, e2e_root)
+    bench_e2e(results, e2e_root)
+    # vs-baseline multiples for the e2e legs (north-star config 5)
+    base = results.get("e2e_baseline_torch_cpu")
+    if base:
+        for key in ("e2e_streaming_utt_per_s", "e2e_streaming_int8_utt_per_s",
+                    "e2e_streaming_mel_utt_per_s"):
+            if results.get(key):
+                results[key + "_vs_baseline"] = round(results[key] / base, 1)
 
     out_path = os.path.join(REPO_ROOT, "BENCH_LOCAL.json")
     with open(out_path, "w") as f:

@@ -11,7 +11,16 @@ layers x [B,U,768]/[B,U,3072] residual+FF masks + attention-prob masks + 5
 FAM layers at dropout 0.4), so mask generation is pure VPU overhead on the
 MXU-bound step. ``rbg`` lowers to the TPU's hardware RngBitGenerator
 instruction instead. Measured on the v5e (scripts/profile_fusion_train.py):
-see ROADMAP §round-4 for the committed numbers that set the default here.
+BENCH_LOCAL.json ``fusion_train_decomposition`` records the committed
+rbg-vs-threefry step times that set this default (ROADMAP §round-5 has the
+narrative).
+
+Trade-off (the reason this is a config knob and not unconditional): XLA's
+RngBitGenerator output is *implementation-defined* and may change across
+compiler versions, so TPU runs under the rbg default are reproducible
+within one toolchain but NOT bit-reproducible across toolchain upgrades.
+threefry2x32 is stable across versions — set ``tpu.dropout_prng:
+threefry2x32`` when resuming a run must replay the exact mask stream.
 
 ``dropout_key(seed)`` returns a typed key whose impl is chosen by
 ``impl``: "rbg", "threefry2x32", or None/"auto" = rbg on TPU, threefry
