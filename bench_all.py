@@ -183,6 +183,30 @@ def bench_fusion(results: dict) -> None:
     }
 
 
+def bench_fe_train_decomposition(results: dict) -> None:
+    """Committed per-region decomposition of both FE fine-tune steps
+    (VERDICT r4 #3: the backward+optimizer side was unprofiled). Runs
+    scripts/profile_fe_regions.py in-process: RoBERTa b32x256 (fwd eval /
+    fwd+dropout / fwd+bwd / AdamW / embedding gather+scatter / per-layer
+    attention XLA-vs-pallas with and without prob dropout) and wav2vec2
+    b16x10s (conv frontend, full step remat vs noremat). These rows are the
+    evidence behind the attention-dropout kernel dispatch
+    (ops/attention.py) and the noremat tuned default above."""
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location(
+        "profile_fe_regions",
+        os.path.join(REPO_ROOT, "scripts", "profile_fe_regions.py"),
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    mod.profile_roberta()
+    mod.profile_wav2vec2()
+    results["fe_train_decomposition"] = {
+        k: (round(v, 3) if isinstance(v, float) else v) for k, v in mod.r.items()
+    }
+
+
 def bench_fusion_train_decomposition(results: dict) -> None:
     """Committed per-ablation decomposition of the tuned fusion train step
     (VERDICT r4 #2 + ADVICE r4 #1: the rbg-vs-threefry numbers behind the
@@ -662,7 +686,12 @@ def bench_fe_train(results: dict) -> None:
     for label, dtype, batch, remat in [
         ("wav2vec2_finetune_utt_per_s", jnp.float32, 2, False),
         ("wav2vec2_finetune_bf16_utt_per_s", jnp.bfloat16, 2, False),
-        ("wav2vec2_finetune_tuned_utt_per_s", jnp.bfloat16, 16, True),
+        # tuned: noremat — measured r5 (scripts/profile_fe_regions.py),
+        # fwd+bwd 101.5 ms vs 109.5 remat at b16x10s; b16 activations fit
+        # HBM, so recomputing the layer forwards only burns MXU time. MFU
+        # numerator stays the honest 3x forward (remat's 4x counts
+        # recompute FLOPs as useful work).
+        ("wav2vec2_finetune_tuned_utt_per_s", jnp.bfloat16, 16, False),
     ]:
         solver = FESolver(
             AudioERC(Wav2Vec2Config.base(), dtype=dtype, scan_layers=True, remat=remat),
@@ -1087,6 +1116,7 @@ def main():
     bench_online_serving(results)
     bench_fe_export_int8(results)
     bench_fe_train(results)
+    bench_fe_train_decomposition(results)
     bench_mel_pipeline(results, data_root)
     bench_e2e_baseline(results, e2e_root)
     bench_e2e(results, e2e_root)

@@ -269,9 +269,44 @@ def remove_checkpoint(path: str | os.PathLike) -> None:
         os.remove(path)
 
 
+def _layer_prefix(state_dict: Any) -> str:
+    """Unrolled layer-stack submodule name stem found in a state-dict tree:
+    "layers" (fusion TransformerEncoder) or "layer" (RoBERTa/wav2vec2
+    backbones). Defaults to "layers" when neither appears."""
+
+    def walk(node: Any) -> str | None:
+        if not isinstance(node, dict):
+            return None
+        for k in node:
+            if isinstance(k, str) and k.startswith("layers_") and k[7:].isdigit():
+                return "layers"
+            if isinstance(k, str) and k.startswith("layer_") and k[6:].isdigit():
+                return "layer"
+        for v in node.values():
+            got = walk(v)
+            if got:
+                return got
+        return None
+
+    return walk(state_dict) or "layers"
+
+
 def restore_into(template: Any, restored: Any) -> Any:
     """Map a restored (dict-of-dicts numpy) tree onto a template pytree
-    (params dict or optax state tuple), validating structure and shapes."""
+    (params dict or optax state tuple), validating structure and shapes.
+
+    Layer-stack layout (scan vs unrolled, models/layout.py) is matched
+    automatically: a checkpoint written under ``tpu.scan_layers: true``
+    (stacked ``layers_scan/layer`` params) loads into an unrolled model and
+    vice versa, so flipping the layout config never orphans checkpoints.
+    Applies to optimizer state too (Adam moments mirror the param tree)."""
+    from mer_tpu.models.layout import match_layout, params_layout
+
+    tdict = serialization.to_state_dict(template)
+    t_layout = params_layout(tdict)
+    if isinstance(restored, dict) and params_layout(restored) != t_layout:
+        prefix = _layer_prefix(tdict if t_layout == "unrolled" else restored)
+        restored = match_layout(restored, want_scan=t_layout == "scan", prefix=prefix)
     out = serialization.from_state_dict(template, restored)
     for t, r in zip(jax.tree_util.tree_leaves(template), jax.tree_util.tree_leaves(out)):
         if hasattr(t, "shape") and tuple(np.shape(t)) != tuple(np.shape(r)):
