@@ -72,7 +72,11 @@ def bench_fusion(results: dict) -> None:
     from mer_tpu.data.synthetic import SyntheticFusionDataset
 
     cfg = load_config(os.path.join(REPO_ROOT, "src", "config.yaml"))
-    model = M2FNet.from_config(cfg.model, dtype=jnp.bfloat16, scan_layers=True)
+    # the production layout (tpu.scan_layers; unrolled is the measured v5e
+    # training default — the scanned stack's backward pays a lax.scan
+    # overhead, see fusion_train_layout below)
+    scan_cfg = bool(cfg.get_path("tpu.scan_layers", True))
+    model = M2FNet.from_config(cfg.model, dtype=jnp.bfloat16, scan_layers=scan_cfg)
     solver = Solver(model, cfg)
     ds = SyntheticFusionDataset(n_dialogues=280, seed=1234, learnable=False)
     dev_batcher = DeviceFusionBatcher(ds, batch_size=BATCH, shuffle=True, seed=0)
@@ -149,6 +153,34 @@ def bench_fusion(results: dict) -> None:
     results["fusion_train_tuned_tflops"] = round(tflops, 1)
     results["fusion_train_tuned_mfu_pct"] = round(frac * 100, 1)
     wall_tuned = min(times)
+
+    # layer-stack layout head-to-head at the tuned shape: the evidence
+    # behind the tpu.scan_layers=false default (same epoch program, only
+    # the layout flips). The scanned stack's backward re-enters the layer
+    # via lax.scan and pays per-iteration stacking/slicing of the [L, ...]
+    # grads; the unrolled stack lets XLA schedule all layers' backwards as
+    # one graph.
+    model_alt = M2FNet.from_config(cfg.model, dtype=jnp.bfloat16, scan_layers=not scan_cfg)
+    solver_a = Solver(model_alt, cfg)
+    state_a = solver_a.init_state(next(iter(tuned_batcher)), steps_per_epoch=len(tuned_batcher))
+    solver_a._build_steps()
+    state_a, _ = solver_a.train_epoch(state_a, tuned_batcher, rng)  # compile
+    times_a = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        state_a, _ = solver_a.train_epoch(state_a, tuned_batcher, rng)
+        times_a.append(time.perf_counter() - t0)
+    _, frac_a = mfu(epoch_flops_tuned, min(times_a))
+    this_layout = "unroll" if not scan_cfg else "scan"
+    alt_layout = "scan" if not scan_cfg else "unroll"
+    results["fusion_train_layout"] = {
+        f"{this_layout}_mfu_pct": results["fusion_train_tuned_mfu_pct"],
+        f"{this_layout}_utt_per_s": results["fusion_train_tuned_utt_per_s"],
+        f"{alt_layout}_mfu_pct": round(frac_a * 100, 1),
+        f"{alt_layout}_utt_per_s": round(n_utt_tuned / min(times_a), 1),
+        "spread_pct": round((max(times_a) - min(times_a)) / min(times_a) * 100, 2),
+    }
+    del state_a, solver_a, model_alt
 
     # --- train-side roofline (VERDICT r3 #3): separate optimizer HBM traffic
     # (the torch-Adam-L2 update is 7 f32 passes over params+moments per step:
@@ -671,30 +703,38 @@ def bench_fe_train(results: dict) -> None:
 
     from mer_tpu.utils.profiling import roberta_forward_flops, wav2vec2_forward_flops
 
-    for label, dtype, batch, remat in [
-        ("roberta_finetune_utt_per_s", jnp.float32, 8, False),
-        ("roberta_finetune_bf16_utt_per_s", jnp.bfloat16, 8, False),
-        ("roberta_finetune_tuned_utt_per_s", jnp.bfloat16, 32, False),
+    # tuned = unrolled layer stack (the fe_common resolve_scan_layers
+    # training default): the scanned stack's backward pays a lax.scan
+    # overhead — measured r5 b32x256 bf16, 40.7% vs 33.7% MFU. The
+    # *_tuned_scan row keeps the committed A/B at the same shape.
+    for label, dtype, batch, remat, scan in [
+        ("roberta_finetune_utt_per_s", jnp.float32, 8, False, True),
+        ("roberta_finetune_bf16_utt_per_s", jnp.bfloat16, 8, False, True),
+        ("roberta_finetune_tuned_scan_utt_per_s", jnp.bfloat16, 32, False, True),
+        ("roberta_finetune_tuned_utt_per_s", jnp.bfloat16, 32, False, False),
     ]:
         solver = FESolver(
-            TextERC(RobertaConfig.base(), dtype=dtype, scan_layers=True, remat=remat),
+            TextERC(RobertaConfig.base(), dtype=dtype, scan_layers=scan, remat=remat),
             cfg, backbone_key="roberta", batch_to_inputs=text_inputs,
         )
         timed_steps(solver, text_batch(batch), batch, label,
                     flops_per_step=3 * roberta_forward_flops(RobertaConfig.base(), batch, 256))
 
-    for label, dtype, batch, remat in [
-        ("wav2vec2_finetune_utt_per_s", jnp.float32, 2, False),
-        ("wav2vec2_finetune_bf16_utt_per_s", jnp.bfloat16, 2, False),
+    for label, dtype, batch, remat, scan in [
+        ("wav2vec2_finetune_utt_per_s", jnp.float32, 2, False, True),
+        ("wav2vec2_finetune_bf16_utt_per_s", jnp.bfloat16, 2, False, True),
         # tuned: noremat — measured r5 (scripts/profile_fe_regions.py),
         # fwd+bwd 101.5 ms vs 109.5 remat at b16x10s; b16 activations fit
         # HBM, so recomputing the layer forwards only burns MXU time. MFU
         # numerator stays the honest 3x forward (remat's 4x counts
-        # recompute FLOPs as useful work).
-        ("wav2vec2_finetune_tuned_utt_per_s", jnp.bfloat16, 16, False),
+        # recompute FLOPs as useful work). And unrolled — the lax.scan
+        # backward overhead again (r5 probe: 88.9 vs 103.4 ms/step);
+        # *_tuned_scan is the committed same-shape A/B.
+        ("wav2vec2_finetune_tuned_scan_utt_per_s", jnp.bfloat16, 16, False, True),
+        ("wav2vec2_finetune_tuned_utt_per_s", jnp.bfloat16, 16, False, False),
     ]:
         solver = FESolver(
-            AudioERC(Wav2Vec2Config.base(), dtype=dtype, scan_layers=True, remat=remat),
+            AudioERC(Wav2Vec2Config.base(), dtype=dtype, scan_layers=scan, remat=remat),
             cfg, backbone_key="wav2vec2", batch_to_inputs=w2v_inputs,
         )
         # remat recomputes each layer's forward in the backward: ~4x fwd

@@ -60,7 +60,28 @@ def parse_args(argv=None, default_config: str | None = None):
                    help="text/wav2vec2 fine-tune: rematerialize each encoder "
                         "layer in the backward (activation memory ~1/L at the "
                         "cost of one extra forward)")
+    p.add_argument("--scan-layers", default="auto", choices=["auto", "true", "false"],
+                   help="encoder layer-stack layout: 'false' = unrolled "
+                        "per-layer submodules (the measured v5e training "
+                        "default — the scanned stack's backward pays a "
+                        "lax.scan overhead: RoBERTa fine-tune 40.7%% vs "
+                        "33.7%% MFU, BENCH_LOCAL fe_train_layout), 'true' = "
+                        "one nn.scan layer with [L, ...]-stacked params "
+                        "(smaller compiled program; required by --pp). "
+                        "'auto' = true when --pp > 1 or --remat, else false. "
+                        "Checkpoints interchange across layouts "
+                        "(models/layout.py via restore_into).")
     return p.parse_args(argv)
+
+
+def resolve_scan_layers(args) -> bool:
+    """Layer-stack layout for the FE backbones (see --scan-layers)."""
+    flag = str(getattr(args, "scan_layers", "auto"))
+    if flag in ("true", "false"):
+        return flag == "true"
+    # auto: --pp routes the stack through scanned_layer_pipeline (stacked
+    # [L, ...] params); per-layer remat is likewise defined over the scan.
+    return int(getattr(args, "pp", 1) or 1) > 1 or bool(getattr(args, "remat", False))
 
 
 def resolve_compute_dtype(args, config=None):
@@ -143,7 +164,7 @@ def load_text_model_and_tokenizer(args, variant: str | None = None, config=None)
     cfg = RobertaConfig.large() if "large" in variant else RobertaConfig.base()
     model = TextERC(
         cfg, dtype=resolve_compute_dtype(args, config),
-        scan_layers=True, remat=bool(getattr(args, "remat", False)),
+        scan_layers=resolve_scan_layers(args), remat=bool(getattr(args, "remat", False)),
         remat_policy=getattr(args, "remat_policy", None),
     )
 
@@ -167,7 +188,7 @@ def load_text_model_and_tokenizer(args, variant: str | None = None, config=None)
                 "--random-init for a smoke run — results will NOT match the "
                 "reference's fine-tuned artifacts (text/model.py:16)."
             ) from e
-        pretrained_params = convert_hf_roberta(hf.state_dict(), cfg, scan_layers=True)
+        pretrained_params = convert_hf_roberta(hf.state_dict(), cfg, scan_layers=model.scan_layers)
     return model, tokenizer, pretrained_params
 
 
@@ -177,7 +198,7 @@ def load_wav2vec2_model(args, variant: str = "facebook/wav2vec2-base", config=No
     cfg = Wav2Vec2Config.base()
     model = AudioERC(
         cfg, dtype=resolve_compute_dtype(args, config),
-        scan_layers=True, remat=bool(getattr(args, "remat", False)),
+        scan_layers=resolve_scan_layers(args), remat=bool(getattr(args, "remat", False)),
         remat_policy=getattr(args, "remat_policy", None),
     )
     pretrained_params = None
@@ -194,7 +215,7 @@ def load_wav2vec2_model(args, variant: str = "facebook/wav2vec2-base", config=No
                 "--random-init for a smoke run — results will NOT match the "
                 "reference's fine-tuned artifacts (audio_wav2vec2/model.py:9)."
             ) from e
-        pretrained_params = convert_hf_wav2vec2(hf.state_dict(), cfg, scan_layers=True)
+        pretrained_params = convert_hf_wav2vec2(hf.state_dict(), cfg, scan_layers=model.scan_layers)
     return model, pretrained_params
 
 
