@@ -1145,21 +1145,39 @@ def main():
         )
 
     results: dict = {}
-    bench_h2d_link(results)
-    bench_kernels(results)
-    bench_logmel(results)
-    bench_fusion(results)
-    fusion_roofline(results)
-    bench_fusion_train_decomposition(results)
-    bench_fusion_latency(results)
-    bench_fusion_int8(results)
-    bench_online_serving(results)
-    bench_fe_export_int8(results)
-    bench_fe_train(results)
-    bench_fe_train_decomposition(results)
-    bench_mel_pipeline(results, data_root)
-    bench_e2e_baseline(results, e2e_root)
-    bench_e2e(results, e2e_root)
+    out_path = os.path.join(REPO_ROOT, "BENCH_LOCAL.json")
+
+    def run_leg(fn, *args):
+        """Fault isolation per leg + incremental flush: a crashed leg (TPU
+        outage, OOM, compiler 500) records an error row instead of losing
+        the hours of sweep behind it, and BENCH_LOCAL.json always holds
+        every completed leg."""
+        t0 = time.perf_counter()
+        try:
+            fn(results, *args)
+        except Exception as e:  # noqa: BLE001 — the whole point
+            results[f"{fn.__name__}_error"] = str(e)[:300]
+            print(f"LEG FAILED {fn.__name__}: {e}", file=sys.stderr)
+        results.setdefault("_leg_seconds", {})[fn.__name__] = round(
+            time.perf_counter() - t0, 1)
+        with open(out_path, "w") as f:
+            json.dump(results, f, indent=2)
+
+    run_leg(bench_h2d_link)
+    run_leg(bench_kernels)
+    run_leg(bench_logmel)
+    run_leg(bench_fusion)
+    run_leg(fusion_roofline)
+    run_leg(bench_fusion_train_decomposition)
+    run_leg(bench_fusion_latency)
+    run_leg(bench_fusion_int8)
+    run_leg(bench_online_serving)
+    run_leg(bench_fe_export_int8)
+    run_leg(bench_fe_train)
+    run_leg(bench_fe_train_decomposition)
+    run_leg(bench_mel_pipeline, data_root)
+    run_leg(bench_e2e_baseline, e2e_root)
+    run_leg(bench_e2e, e2e_root)
     # vs-baseline multiples for the e2e legs (north-star config 5)
     base = results.get("e2e_baseline_torch_cpu")
     if base:
@@ -1168,7 +1186,6 @@ def main():
             if results.get(key):
                 results[key + "_vs_baseline"] = round(results[key] / base, 1)
 
-    out_path = os.path.join(REPO_ROOT, "BENCH_LOCAL.json")
     with open(out_path, "w") as f:
         json.dump(results, f, indent=2)
     print(json.dumps(results, indent=2))
