@@ -386,9 +386,22 @@ def bench_online_serving(results: dict) -> None:
         reqs.append((rng.normal(size=(u, d)).astype(np.float32),
                      rng.normal(size=(u, d)).astype(np.float32)))
 
-    # warm the (batch-bucket, length-bucket) programs
-    with OnlineServer(predict_np, max_batch=64, max_wait_ms=2.0) as w:
-        [f.result(timeout=600) for f in [w.submit(t, a) for t, a in reqs[:64]]]
+    # warm EVERY (batch-bucket, length-bucket) program the engine can pick
+    # before any timed window: arrival patterns decide which batch bucket a
+    # micro-batch lands in, and a cold remote compile (~minutes on this
+    # host) inside a timed sweep point turns the whole point into queue
+    # drainage (measured exactly that before this pre-warm: achieved 68/s
+    # at offered 125 with p50 2.2 s).
+    from mer_tpu.data.fusion import DEFAULT_LENGTH_BUCKETS
+    from mer_tpu.serving.online import DEFAULT_BATCH_BUCKETS
+
+    max_u = max(t.shape[0] for t, _ in reqs)
+    u_cover = min(u for u in DEFAULT_LENGTH_BUCKETS if u >= max_u)
+    for bb in (b for b in DEFAULT_BATCH_BUCKETS if b <= 64):
+        for ub in (u for u in DEFAULT_LENGTH_BUCKETS if u <= u_cover):
+            predict_np(np.zeros((bb, ub, d), np.float32),
+                       np.zeros((bb, ub, d), np.float32),
+                       np.zeros((bb, ub), bool))
 
     server = OnlineServer(predict_np, max_batch=64, max_wait_ms=2.0)
     try:
@@ -969,6 +982,10 @@ def bench_e2e(results: dict, data_root: str) -> None:
         ((), "e2e_streaming_utt_per_s", "e2e_stages"),
         (("--int8",), "e2e_streaming_int8_utt_per_s", "e2e_int8_stages"),
         (("--audio", "mel"), "e2e_streaming_mel_utt_per_s", "e2e_mel_stages"),
+        # lossy uint8 wire (ops/mulaw.py): half the H2D waveform bytes —
+        # the committed row that says whether the wire or the forward is
+        # binding after length-sorted batching
+        (("--wire", "mulaw"), "e2e_streaming_mulaw_utt_per_s", "e2e_mulaw_stages"),
     ]:
         try:
             proc = subprocess.run(
@@ -1003,17 +1020,26 @@ def bench_e2e(results: dict, data_root: str) -> None:
 def bench_h2d_link(results: dict) -> None:
     """Measured host->device link rate (this dev host tunnels; real TPU
     hosts ride PCIe). The e2e stage-1 wall is attributed against
-    embed_h2d_bytes / this rate."""
+    embed_h2d_bytes / this rate.
+
+    Two rows: zeros (the tunnel compresses — an upper bound only synthetic
+    silence hits) and random bytes (incompressible — what real PCM waveform
+    payloads see; THIS is the rate stage-1 attribution must use)."""
     import jax
 
-    buf = np.zeros((32 * 1024 * 1024,), np.uint8)  # 32 MB
-    jax.block_until_ready(jax.device_put(buf))  # warm the path
-    times = []
-    for _ in range(3):
-        t0 = time.perf_counter()
-        jax.block_until_ready(jax.device_put(buf))
-        times.append(time.perf_counter() - t0)
-    results["h2d_link_mb_s"] = round(buf.nbytes / 1e6 / min(times), 1)
+    rng = np.random.default_rng(0)
+    for label, buf in [
+        ("h2d_link_mb_s", np.zeros((32 * 1024 * 1024,), np.uint8)),  # 32 MB
+        ("h2d_link_incompressible_mb_s",
+         rng.integers(0, 256, size=(32 * 1024 * 1024,), dtype=np.uint8)),
+    ]:
+        jax.block_until_ready(jax.device_put(buf))  # warm the path
+        times = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            jax.block_until_ready(jax.device_put(buf))
+            times.append(time.perf_counter() - t0)
+        results[label] = round(buf.nbytes / 1e6 / min(times), 1)
 
 
 def bench_e2e_baseline(results: dict, data_root: str) -> None:
@@ -1123,7 +1149,17 @@ def bench_e2e_baseline(results: dict, data_root: str) -> None:
 
 
 def main():
-    data_root = sys.argv[1] if len(sys.argv) > 1 else "/tmp/meldbig"
+    # optional single-leg re-runs: `bench_all.py [data_root] --legs a,b`
+    # loads the committed BENCH_LOCAL.json and re-measures ONLY the named
+    # legs in place (e.g. after fixing one leg's harness, without paying
+    # the full multi-hour sweep again)
+    argv = sys.argv[1:]
+    only_legs = None
+    if "--legs" in argv:
+        i = argv.index("--legs")
+        only_legs = set(argv[i + 1].split(","))
+        argv = argv[:i] + argv[i + 2:]
+    data_root = argv[0] if argv else "/tmp/meldbig"
     if not os.path.isdir(os.path.join(data_root, "MELD.Raw")):
         import subprocess
 
@@ -1146,12 +1182,18 @@ def main():
 
     results: dict = {}
     out_path = os.path.join(REPO_ROOT, "BENCH_LOCAL.json")
+    if only_legs is not None and os.path.exists(out_path):
+        with open(out_path) as f:
+            results = json.load(f)
 
     def run_leg(fn, *args):
         """Fault isolation per leg + incremental flush: a crashed leg (TPU
         outage, OOM, compiler 500) records an error row instead of losing
         the hours of sweep behind it, and BENCH_LOCAL.json always holds
         every completed leg."""
+        if only_legs is not None and fn.__name__ not in only_legs:
+            return
+        results.pop(f"{fn.__name__}_error", None)
         t0 = time.perf_counter()
         try:
             fn(results, *args)
@@ -1182,7 +1224,7 @@ def main():
     base = results.get("e2e_baseline_torch_cpu")
     if base:
         for key in ("e2e_streaming_utt_per_s", "e2e_streaming_int8_utt_per_s",
-                    "e2e_streaming_mel_utt_per_s"):
+                    "e2e_streaming_mel_utt_per_s", "e2e_streaming_mulaw_utt_per_s"):
             if results.get(key):
                 results[key + "_vs_baseline"] = round(results[key] / base, 1)
 

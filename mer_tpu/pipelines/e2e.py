@@ -65,10 +65,26 @@ class StreamingPipeline:
     """
 
     def __init__(self, models: E2EModels, utterance_batch: int = 32, dialogue_batch: int = 32,
-                 buckets=DEFAULT_LENGTH_BUCKETS, engine: str = "bf16", mel_cfg=None):
+                 buckets=DEFAULT_LENGTH_BUCKETS, engine: str = "bf16", mel_cfg=None,
+                 wire: str = "int16"):
         if engine not in ("bf16", "int8"):
             raise ValueError(f"engine must be 'bf16' or 'int8', got {engine!r}")
+        if wire not in ("int16", "mulaw"):
+            raise ValueError(f"wire must be 'int16' or 'mulaw', got {wire!r}")
         self.engine = engine
+        self.wire = wire
+
+        # waveform wire decode: int16 PCM is exact (the default); 8-bit
+        # μ-law halves the H2D bytes again at ~35-38 dB quantization SNR
+        # (ops/mulaw.py — envelope vs the exact path pinned in
+        # tests/test_mulaw.py). Both are pure elementwise and fuse into the
+        # first conv/frame op on device.
+        if wire == "mulaw":
+            from mer_tpu.ops.mulaw import mulaw_decode as _wire_decode
+        else:
+            def _wire_decode(a):
+                return a.astype(jnp.float32) / 32768.0
+        self._wire_decode = _wire_decode
 
         from mer_tpu.models.resnet import AudioMelFeatureExtractor
 
@@ -142,8 +158,8 @@ class StreamingPipeline:
             fusion_server = M2FNetInt8(models.fusion_model)
             text_embed = text_server.embed
 
-            def audio_embed(params, audio_i16, lengths):
-                audio = audio_i16.astype(jnp.float32) / 32768.0
+            def audio_embed(params, audio_wire, lengths):
+                audio = _wire_decode(audio_wire)
                 return audio_server.embed(params, audio, lengths)
 
             def fusion_logits(params, text, audio, mask):
@@ -162,9 +178,10 @@ class StreamingPipeline:
                 # embeddings/audio_mel chain (audio_mel/dataset.py:93-180 +
                 # embeddings.py:61-80). int16 wire format is exact here too —
                 # the mel frontend peak-normalizes per clip (dataset.py:94),
-                # cancelling the 1/32768 scale.
-                def audio_embed(variables, audio_i16, lengths):
-                    audio = audio_i16.astype(jnp.float32) / 32768.0
+                # cancelling the 1/32768 scale. (μ-law is NOT exact here:
+                # companding error survives peak normalization.)
+                def audio_embed(variables, audio_wire, lengths):
+                    audio = _wire_decode(audio_wire)
                     pad = mcfg.max_samples - audio.shape[1]
                     if pad > 0:
                         audio = jnp.pad(audio, ((0, 0), (0, pad)))
@@ -175,10 +192,11 @@ class StreamingPipeline:
                     )
                     return self.m.audio_model.apply(variables, spec)
             else:
-                # audio travels host->device as int16 (PCM's native width):
-                # half the transfer bytes; normalization happens on device.
-                def audio_embed(params, audio_i16, lengths):
-                    audio = audio_i16.astype(jnp.float32) / 32768.0
+                # audio travels host->device as int16 (PCM's native width,
+                # half the transfer bytes) or uint8 μ-law (quarter);
+                # decode/normalization happens on device.
+                def audio_embed(params, audio_wire, lengths):
+                    audio = _wire_decode(audio_wire)
                     return self.m.audio_model.apply({"params": params}, audio, lengths, method=AudioERC.embed)
 
             def fusion_logits(params, text, audio, mask):
@@ -234,6 +252,17 @@ class StreamingPipeline:
 
     # -- stage 1: utterance embeddings ---------------------------------------
 
+    def _check_wire(self, audio) -> None:
+        """Fail loudly on a generator/pipeline wire-format mismatch — μ-law
+        decode of int16 PCM (or vice versa) would be silent garbage."""
+        expect = np.uint8 if self.wire == "mulaw" else np.int16
+        if np.asarray(audio).dtype != expect:
+            raise ValueError(
+                f"wire={self.wire!r} expects {np.dtype(expect).name} audio "
+                f"batches, got {np.asarray(audio).dtype.name} — pass "
+                f"wire={self.wire!r} to mixed_utterance_batches too"
+            )
+
     def embed_utterances(self, batches, stage_times: dict | None = None, fetch: bool = True):
         """Consume mixed host batches with both modalities:
         {"text", "attention_mask", "audio", "lengths", "idx", "emotion"}.
@@ -258,6 +287,7 @@ class StreamingPipeline:
         from mer_tpu.data.prefetch import prefetch
 
         device_keys = ("text", "attention_mask", "audio", "lengths")
+        checked_wire = [False]
         host = []
         host_prep = [0.0]
 
@@ -269,6 +299,9 @@ class StreamingPipeline:
                 host_prep[0] += time.perf_counter() - t0
                 if b is None:
                     return
+                if not checked_wire[0]:
+                    self._check_wire(b["audio"])
+                    checked_wire[0] = True
                 host.append((b["idx"], b["emotion"]))
                 yield {k: b[k] for k in device_keys}
 
@@ -345,6 +378,7 @@ class StreamingPipeline:
         host = list(batches)
         if not host:
             raise ValueError("no utterance batches")
+        self._check_wire(host[0]["audio"])
         n_rows = 1 + max(int(np.max(b["idx"])) for b in host)
         if stage_times is not None:
             stage_times["embed_host_prep_s"] = round(time.perf_counter() - t_host, 3)
@@ -552,12 +586,37 @@ class StreamingPipeline:
 
 
 def mixed_utterance_batches(text_ds, w2v_ds, batch_size: int = 16,
-                            seconds_buckets=(2.0, 4.0, 6.0, 8.0, 10.0), token_buckets=(64, 128, 256, 512)):
+                            seconds_buckets=(2.0, 4.0, 6.0, 8.0, 10.0), token_buckets=(64, 128, 256, 512),
+                            sort_by_length: bool = True, wire: str = "int16"):
     """Host generator yielding batches carrying BOTH modalities for the same
-    utterance rows (text_ds: TextFeatureDataset, w2v_ds: Wav2Vec2FeatureDataset)."""
+    utterance rows (text_ds: TextFeatureDataset, w2v_ds: Wav2Vec2FeatureDataset).
+
+    ``sort_by_length`` (default) orders utterances by waveform length (WAV
+    headers only — no decode) before batching, so each batch pads to a bucket
+    near its members' true lengths instead of its longest straggler's. On the
+    MELD-test-shaped split (2608 utts, mean 3.2 s, p90 5.8 s) corpus-order
+    batches average 0.34 pad efficiency vs 0.75 sorted — 2.2x less audio
+    compute AND 2.2x fewer H2D wire bytes, which is most of the e2e wall on
+    tunneled hosts. Downstream order is immaterial: every batch carries its
+    dataset rows in ``idx`` and stage 2 regroups via position tables
+    (embed_utterances_scanned). The reference's offline analog sidesteps the
+    issue by writing per-utterance pickles one at a time
+    (audio_wav2vec2/embeddings.py:68-94); an order-preserving stream exists
+    behind ``sort_by_length=False``.
+
+    ``wire`` selects the waveform wire format: "int16" (exact PCM, default)
+    or "mulaw" (uint8 companding — half the bytes, lossy; ops/mulaw.py).
+    Must match the consuming StreamingPipeline's ``wire``."""
+    if wire not in ("int16", "mulaw"):
+        raise ValueError(f"wire must be 'int16' or 'mulaw', got {wire!r}")
+    if wire == "mulaw":
+        from mer_tpu.ops.mulaw import MULAW_ZERO as mulaw_zero, mulaw_encode_np
     n = len(text_ds)
     assert len(w2v_ds) == n
     sample_buckets = tuple(int(s * w2v_ds.sample_rate) for s in seconds_buckets)
+    order = np.arange(n)
+    if sort_by_length:
+        order = order[np.argsort(w2v_ds.waveform_lengths(), kind="stable")]
 
     def bucket(x, ladder):
         for b in ladder:
@@ -566,7 +625,7 @@ def mixed_utterance_batches(text_ds, w2v_ds, batch_size: int = 16,
         return ladder[-1]
 
     for i in range(0, n, batch_size):
-        idx = np.arange(i, min(i + batch_size, n))
+        idx = order[i : i + batch_size]
         pad = batch_size - len(idx)
         full = np.concatenate([idx, idx[-1:].repeat(pad)]) if pad else idx
 
@@ -580,12 +639,18 @@ def mixed_utterance_batches(text_ds, w2v_ds, batch_size: int = 16,
 
         waves = [w2v_ds.waveform(j) for j in full]
         wwidth = bucket(max(len(w) for w in waves), sample_buckets)
-        # int16 on the wire (see StreamingPipeline): half the H2D bytes
-        audio = np.zeros((batch_size, wwidth), np.int16)
+        # int16 on the wire (see StreamingPipeline): half the H2D bytes;
+        # uint8 μ-law (wire="mulaw"): a quarter (ops/mulaw.py)
+        audio = np.zeros((batch_size, wwidth), np.int16 if wire == "int16" else np.uint8)
+        if wire == "mulaw":
+            audio += mulaw_zero  # μ-law code for silence is 0x80, not 0
         lengths = np.zeros((batch_size,), np.int32)
         for k, w in enumerate(waves):
             w = w[:wwidth]
-            audio[k, : len(w)] = np.clip(w * 32768.0, -32768, 32767).astype(np.int16)
+            if wire == "mulaw":
+                audio[k, : len(w)] = mulaw_encode_np(w)
+            else:
+                audio[k, : len(w)] = np.clip(w * 32768.0, -32768, 32767).astype(np.int16)
             lengths[k] = len(w)
 
         emotion = text_ds.labels[full].astype(np.int32).copy()

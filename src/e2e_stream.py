@@ -50,6 +50,15 @@ def main(argv=None):
     p.add_argument("--utterance-batch", type=int, default=32)
     p.add_argument("--int8", action="store_true",
                    help="serve all three models through the int8 engines (mer_tpu/serving)")
+    p.add_argument("--wire", choices=("int16", "mulaw"), default="int16",
+                   help="waveform host->device wire format: int16 PCM (exact, "
+                        "default) or uint8 mu-law (half the H2D bytes, lossy "
+                        "~35-38 dB SNR; ops/mulaw.py)")
+    p.add_argument("--corpus-order", action="store_true",
+                   help="consume utterances in corpus order instead of the "
+                        "length-sorted default (sorting packs batches into "
+                        "tight duration buckets: 2.2x less audio compute and "
+                        "H2D wire bytes at MELD-test shape)")
     p.add_argument("--per-batch-stage1", action="store_true",
                    help="per-batch stage-1 dispatch (true-streaming shape) instead of "
                         "the scan-grouped offline default (one dispatch per shape group)")
@@ -135,12 +144,16 @@ def main(argv=None):
         utterance_batch=args.utterance_batch,
         dialogue_batch=int(fusion_cfg.test.data_loader.batch_size),
         engine="int8" if args.int8 else "bf16",
+        wire=args.wire,
     )
 
-    batches = mixed_utterance_batches(text_ds, w2v_ds, batch_size=args.utterance_batch)
+    sort = not args.corpus_order
+    batches = mixed_utterance_batches(text_ds, w2v_ds, batch_size=args.utterance_batch,
+                                      sort_by_length=sort, wire=args.wire)
     # warmup pass compiles every bucket shape, second pass is the timed run
     scan_stage1 = not args.per_batch_stage1
-    pipeline.run(mixed_utterance_batches(text_ds, w2v_ds, batch_size=args.utterance_batch), df,
+    pipeline.run(mixed_utterance_batches(text_ds, w2v_ds, batch_size=args.utterance_batch,
+                                         sort_by_length=sort, wire=args.wire), df,
                  scan_stage1=scan_stage1)
     result = pipeline.run(batches, df, scan_stage1=scan_stage1)
     print(

@@ -83,6 +83,18 @@ class TestStreamingPipeline:
         np.testing.assert_allclose(stream_result["accuracy"], result["accuracy"], atol=1e-9)
         np.testing.assert_allclose(stream_result["weighted_f1"], result["weighted_f1"], atol=1e-9)
 
+        # ... and length-sorted batching (the default; 2.2x wire/compute
+        # saver at MELD-test shape) vs corpus order, across a two-width
+        # bucket ladder so sorting actually changes batch compositions AND
+        # pad widths: a batch-composition change, not a numerics change
+        for sort in (True, False):
+            b4 = mixed_utterance_batches(text_ds, w2v_ds, batch_size=8,
+                                         seconds_buckets=(0.5, 1.0), sort_by_length=sort)
+            r4 = pipeline.run(b4, df)
+            assert r4["n_utterances"] == result["n_utterances"]
+            np.testing.assert_allclose(r4["accuracy"], result["accuracy"], atol=1e-9)
+            np.testing.assert_allclose(r4["weighted_f1"], result["weighted_f1"], atol=1e-9)
+
         # int8 engine mode: full pipeline through the quantized serving
         # engines (per-model error envelopes are pinned in test_serving_quant)
         pipeline8 = StreamingPipeline(models, utterance_batch=8, dialogue_batch=4, engine="int8")
