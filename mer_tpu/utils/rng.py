@@ -11,8 +11,9 @@ layers x [B,U,768]/[B,U,3072] residual+FF masks + attention-prob masks + 5
 FAM layers at dropout 0.4), so mask generation is pure VPU overhead on the
 MXU-bound step. ``rbg`` lowers to the TPU's hardware RngBitGenerator
 instruction instead. Measured on the v5e (scripts/profile_fusion_train.py):
-BENCH_LOCAL.json ``fusion_train_decomposition`` records the committed
-rbg-vs-threefry step times that set this default (ROADMAP §round-5 has the
+BENCH_LOCAL.json ``fusion_train_decomposition_b256`` records the committed
+rbg-vs-threefry step times that set this default (fwd 6.96 -> 5.22 ms,
+full step 25.06 -> 20.41 ms at b256; ROADMAP §Done (round 5) has the
 narrative).
 
 Trade-off (the reason this is a config knob and not unconditional): XLA's
