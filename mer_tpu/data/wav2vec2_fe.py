@@ -45,6 +45,38 @@ class Wav2Vec2FeatureDataset:
         dia, utt = self.dia_utt[int(idx)]
         return self.store.get(dia, utt)
 
+    def waveform_batch(self, indices, width: int) -> tuple[np.ndarray, np.ndarray]:
+        """Decode a batch into a fixed [n, width] float32 buffer + true
+        (truncated) lengths.
+
+        Uses the native thread-pooled batch decoder (native/wavio.cc) when
+        built — the e2e stage-1 host-prep hot path; per-file stdlib reader
+        otherwise, and per-file fallback for clips the native path rejects
+        (resample-needed, odd formats: negative length codes)."""
+        from mer_tpu.data import native_wavio
+
+        indices = np.asarray(indices)
+        if native_wavio.available():
+            paths = [self.store.path_for(*self.dia_utt[int(i)]) for i in indices]
+            out, lengths = native_wavio.decode_wav_batch(
+                paths, width, expect_rate=self.sample_rate
+            )
+            for i in np.flatnonzero(lengths < 0):
+                dia, utt = self.dia_utt[int(indices[i])]
+                w = self.store.get(dia, utt)[:width]
+                out[i, : len(w)] = w
+                out[i, len(w):] = 0.0
+                lengths[i] = len(w)
+            return out, lengths.astype(np.int32)
+
+        out = np.zeros((len(indices), width), np.float32)
+        lengths = np.zeros((len(indices),), np.int32)
+        for k, idx in enumerate(indices):
+            w = self.waveform(int(idx))[:width]
+            out[k, : len(w)] = w
+            lengths[k] = len(w)
+        return out, lengths
+
     def waveform_lengths(self) -> np.ndarray:
         """Clip lengths in samples (post-truncation), from WAV headers only —
         no sample data is read. Cached after the first call."""

@@ -610,13 +610,14 @@ def mixed_utterance_batches(text_ds, w2v_ds, batch_size: int = 16,
     if wire not in ("int16", "mulaw"):
         raise ValueError(f"wire must be 'int16' or 'mulaw', got {wire!r}")
     if wire == "mulaw":
-        from mer_tpu.ops.mulaw import MULAW_ZERO as mulaw_zero, mulaw_encode_np
+        from mer_tpu.ops.mulaw import mulaw_encode_np
     n = len(text_ds)
     assert len(w2v_ds) == n
     sample_buckets = tuple(int(s * w2v_ds.sample_rate) for s in seconds_buckets)
+    header_lengths = w2v_ds.waveform_lengths()  # cached; WAV headers only
     order = np.arange(n)
     if sort_by_length:
-        order = order[np.argsort(w2v_ds.waveform_lengths(), kind="stable")]
+        order = order[np.argsort(header_lengths, kind="stable")]
 
     def bucket(x, ladder):
         for b in ladder:
@@ -637,21 +638,19 @@ def mixed_utterance_batches(text_ds, w2v_ds, batch_size: int = 16,
         else:  # longest > largest bucket: let the tokenizer truncate
             ids, mask = text_ds.tokenizer(texts, pad_to=width)
 
-        waves = [w2v_ds.waveform(j) for j in full]
-        wwidth = bucket(max(len(w) for w in waves), sample_buckets)
+        # bucket width from the cached header lengths (no decode), then ONE
+        # native thread-pooled batch decode (native/wavio.cc) straight into
+        # the [B, wwidth] buffer — the per-file stdlib loop here was most of
+        # stage-1 host prep at MELD-test scale
+        wwidth = bucket(int(header_lengths[full].max()), sample_buckets)
+        wav_f32, lengths = w2v_ds.waveform_batch(full, wwidth)
         # int16 on the wire (see StreamingPipeline): half the H2D bytes;
-        # uint8 μ-law (wire="mulaw"): a quarter (ops/mulaw.py)
-        audio = np.zeros((batch_size, wwidth), np.int16 if wire == "int16" else np.uint8)
+        # uint8 μ-law (wire="mulaw"): a quarter (ops/mulaw.py). Pad regions
+        # are zeros, which both encoders map to their exact-zero code.
         if wire == "mulaw":
-            audio += mulaw_zero  # μ-law code for silence is 0x80, not 0
-        lengths = np.zeros((batch_size,), np.int32)
-        for k, w in enumerate(waves):
-            w = w[:wwidth]
-            if wire == "mulaw":
-                audio[k, : len(w)] = mulaw_encode_np(w)
-            else:
-                audio[k, : len(w)] = np.clip(w * 32768.0, -32768, 32767).astype(np.int16)
-            lengths[k] = len(w)
+            audio = mulaw_encode_np(wav_f32)
+        else:
+            audio = np.clip(wav_f32 * 32768.0, -32768, 32767).astype(np.int16)
 
         emotion = text_ds.labels[full].astype(np.int32).copy()
         if pad:

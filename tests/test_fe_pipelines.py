@@ -162,6 +162,30 @@ class TestWav2Vec2Pipeline:
             assert b["audio"].shape == (4, 16000)  # 1 s bucket fits 0.75 s clips
             assert (b["lengths"] > 0).all()
 
+    def test_waveform_batch_matches_per_file(self, meld_like_root_with_wavs, monkeypatch):
+        """waveform_batch (native thread-pooled decoder, e2e host-prep hot
+        path) must equal the per-file reader exactly, and its stdlib
+        fallback must equal the native path."""
+        root, _ = meld_like_root_with_wavs
+        ds = Wav2Vec2FeatureDataset("val", data_root=root)
+        idx = np.arange(min(6, len(ds)))
+        width = 16000
+
+        buf, lengths = ds.waveform_batch(idx, width)
+        assert buf.shape == (len(idx), width) and buf.dtype == np.float32
+        for k, i in enumerate(idx):
+            w = ds.waveform(int(i))[:width]
+            assert lengths[k] == len(w)
+            np.testing.assert_array_equal(buf[k, : len(w)], w)
+            np.testing.assert_array_equal(buf[k, len(w):], 0.0)
+
+        from mer_tpu.data import native_wavio
+
+        monkeypatch.setattr(native_wavio, "available", lambda: False)
+        buf2, lengths2 = ds.waveform_batch(idx, width)
+        np.testing.assert_array_equal(buf2, buf)
+        np.testing.assert_array_equal(lengths2, lengths)
+
     def test_one_epoch_training(self, meld_like_root_with_wavs, tmp_path):
         root, _ = meld_like_root_with_wavs
         train_b = Wav2Vec2Batcher(
