@@ -159,6 +159,85 @@ def shard_params(params: Any, mesh: Mesh) -> Any:
     )
 
 
+# ---------------------------------------------------------------------------
+# ZeRO-1: optimizer-state sharding over dp.
+#
+# With plain data parallelism the Adam moments are replicated on every dp
+# replica — 2x the param bytes of pure waste per chip (the reference, being
+# single-device, has no analog; this is the scaling-book / ZeRO stage-1
+# recipe expressed as GSPMD shardings).  Each moment tensor gets its
+# param's TP spec PLUS a "dp" sharding on the largest still-unsharded,
+# dp-divisible axis.  Everything stays ordinary jit: the optimizer update
+# then computes shard-locally (each replica slices the all-reduced grads),
+# and GSPMD inserts ONE all-gather of the param updates per step — the
+# ZeRO-1 communication pattern — because params remain dp-replicated.
+# ---------------------------------------------------------------------------
+
+
+def zero1_param_specs(params: Any, mesh: Mesh) -> Any:
+    """Per-param ZeRO-1 specs: the TP spec extended with a dp shard on the
+    largest unsharded axis divisible by the dp size (P() when none is)."""
+    dp = mesh.shape.get("dp", 1)
+    tp_specs = m2fnet_param_specs(params)
+
+    def extend(leaf, spec):
+        if dp <= 1 or np.ndim(leaf) == 0:
+            return spec
+        names = list(spec) + [None] * (np.ndim(leaf) - len(spec))
+        best, best_size = None, 0
+        for ax, nm in enumerate(names):
+            if nm is None and leaf.shape[ax] % dp == 0 and leaf.shape[ax] > best_size:
+                best, best_size = ax, leaf.shape[ax]
+        if best is None:
+            return spec
+        names[best] = "dp"
+        return P(*names)
+
+    return jax.tree.map(extend, params, tp_specs)
+
+
+def zero1_opt_shardings(opt_state: Any, params: Any, mesh: Mesh) -> Any:
+    """NamedSharding tree matching ``opt_state``'s structure.
+
+    Optimizer states are arbitrary optax pytrees (chains, MultiSteps,
+    multi_transform masks) whose moment subtrees mirror the param tree —
+    match each opt leaf to its param by the longest path *suffix* (a moment
+    leaf's path ends with its param's path), and fall back to replicated
+    for everything else (step counters, schedules)."""
+    specs = zero1_param_specs(params, mesh)
+    spec_by_path = {
+        _path_str(path): spec
+        for path, spec in jax.tree_util.tree_flatten_with_path(specs)[0]
+    }
+
+    repl = NamedSharding(mesh, P())
+
+    def place(path, leaf):
+        parts = _path_str(path).split("/")
+        for i in range(len(parts)):
+            spec = spec_by_path.get("/".join(parts[i:]))
+            if isinstance(spec, P):
+                # shapes must agree (a schedule scalar could share a name)
+                return NamedSharding(mesh, spec) if np.ndim(leaf) > 0 else repl
+        return repl
+
+    return jax.tree_util.tree_map_with_path(place, opt_state)
+
+
+def shard_opt_state_zero1(opt_state: Any, params: Any, mesh: Mesh) -> Any:
+    """Place an optimizer state on the mesh with ZeRO-1 dp sharding."""
+    shardings = zero1_opt_shardings(opt_state, params, mesh)
+    return jax.tree.map(jax.device_put, opt_state, shardings)
+
+
+def constrain_opt_state_zero1(opt_state: Any, params: Any, mesh: Mesh) -> Any:
+    """In-jit twin of :func:`shard_opt_state_zero1` — pins the new optimizer
+    state's sharding inside the train step so GSPMD cannot re-replicate the
+    moments between steps."""
+    shardings = zero1_opt_shardings(opt_state, params, mesh)
+    return jax.tree.map(jax.lax.with_sharding_constraint, opt_state, shardings)
+
+
 def pad_batch_to_dp(batch: dict, dp: int) -> dict:
     """Pad the leading dim of every array so it divides the dp axis size."""
 

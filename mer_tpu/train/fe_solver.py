@@ -108,6 +108,20 @@ class FESolver:
         # GPU memory, audio_wav2vec2/config.yaml:26). Warmup is counted in
         # optimizer UPDATES, not micro-steps.
         self.grad_accum = int(config.get_path("solver.grad_accum_steps", 1))
+        # ZeRO-1 (tpu.zero1): Adam moments sharded over dp — see
+        # train/solver.py and parallel/mesh.py zero1_*. Matters most here:
+        # the FE backbones are where optimizer state is big (≈1 GB f32
+        # moments for RoBERTa-base + head)
+        self.zero1 = (
+            bool(config.get_path("tpu.zero1", False))
+            and mesh is not None
+            and mesh.shape.get("dp", 1) > 1
+            # under --pp the stacked [L, ...] backbone params are pp-sharded
+            # on the layer axis; the moments must mirror THAT placement, not
+            # take a dp shard on the same axis — zero1 composes with dp/tp
+            # only (documented in src/config.yaml)
+            and pp_logits_fn is None
+        )
 
         self._built = False
 
@@ -177,6 +191,11 @@ class FESolver:
 
         frozen_state = self.opt_frozen.init(params)
         finetune_state = self.opt_finetune.init(params)
+        if self.zero1:
+            from mer_tpu.parallel.mesh import shard_opt_state_zero1
+
+            frozen_state = shard_opt_state_zero1(frozen_state, params, self.mesh)
+            finetune_state = shard_opt_state_zero1(finetune_state, params, self.mesh)
         self._build_steps()
         # two parallel opt states; step counts the *unfrozen* batches
         return {
@@ -209,6 +228,11 @@ class FESolver:
                 loss, grads = jax.value_and_grad(compute_loss)(state["params"])
                 updates, new_opt = optimizer.update(grads, state[opt_key], state["params"])
                 new_params = optax.apply_updates(state["params"], updates)
+                if self.zero1:
+                    # pin the moments' dp sharding across steps (ZeRO-1)
+                    from mer_tpu.parallel.mesh import constrain_opt_state_zero1
+
+                    new_opt = constrain_opt_state_zero1(new_opt, new_params, self.mesh)
                 new_state = dict(state)
                 new_state["params"] = new_params
                 new_state[opt_key] = new_opt

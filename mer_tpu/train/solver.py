@@ -146,6 +146,14 @@ class Solver:
         self.mesh = mesh
         self.logger = RunLogger(config)
         self.seed = int(config.get_path("tpu.seed", 0) if seed is None else seed)
+        # ZeRO-1: shard the Adam moments over dp (tpu.zero1) — params stay
+        # dp-replicated; GSPMD turns the update into shard-local math plus
+        # one update all-gather per step (parallel/mesh.py zero1_* helpers)
+        self.zero1 = (
+            bool(config.get_path("tpu.zero1", False))
+            and mesh is not None
+            and mesh.shape.get("dp", 1) > 1
+        )
 
         if loss_fn is None:
             cw = None if class_weights is None else jnp.asarray(class_weights)
@@ -172,6 +180,12 @@ class Solver:
         state = TrainState(params=params, opt_state=opt_state, step=jnp.zeros((), jnp.int32))
         if self.mesh is not None:
             state = state.replace(params=shard_params(state.params, self.mesh))
+            if self.zero1:
+                from mer_tpu.parallel.mesh import shard_opt_state_zero1
+
+                state = state.replace(
+                    opt_state=shard_opt_state_zero1(state.opt_state, state.params, self.mesh)
+                )
         return state
 
     def _build_steps(self) -> None:
@@ -191,6 +205,13 @@ class Solver:
             loss, grads = jax.value_and_grad(compute_loss)(state.params)
             updates, new_opt_state = optimizer.update(grads, state.opt_state, state.params)
             new_params = optax.apply_updates(state.params, updates)
+            if self.zero1:
+                # keep the moments dp-sharded across steps (ZeRO-1): without
+                # the constraint GSPMD may re-replicate them to match the
+                # replicated grads
+                from mer_tpu.parallel.mesh import constrain_opt_state_zero1
+
+                new_opt_state = constrain_opt_state_zero1(new_opt_state, new_params, self.mesh)
             new_state = state.replace(params=new_params, opt_state=new_opt_state, step=state.step + 1)
             return new_state, loss, grads
 
