@@ -24,6 +24,8 @@ def main(argv=None):
     config = load_config(args.config)
     if args.epochs is not None:
         config = config.override(solver__epochs=args.epochs)
+    if args.zero1:
+        config = config.override(tpu__zero1=True)
 
     model, pretrained = load_wav2vec2_model(args, config=config)
 

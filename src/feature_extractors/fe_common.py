@@ -60,6 +60,10 @@ def parse_args(argv=None, default_config: str | None = None):
                    help="text/wav2vec2 fine-tune: rematerialize each encoder "
                         "layer in the backward (activation memory ~1/L at the "
                         "cost of one extra forward)")
+    p.add_argument("--zero1", action="store_true",
+                   help="ZeRO-1: shard the Adam moments over the dp mesh axis "
+                        "(sets tpu.zero1; cuts per-chip optimizer HBM to 1/dp — "
+                        "see src/config.yaml and tests/test_zero1.py)")
     p.add_argument("--scan-layers", default="auto", choices=["auto", "true", "false"],
                    help="encoder layer-stack layout: 'false' = unrolled "
                         "per-layer submodules (the measured v5e training "

@@ -23,6 +23,8 @@ def main(argv=None):
     config = load_config(args.config)
     if args.epochs is not None:
         config = config.override(solver__epochs=args.epochs)
+    if args.zero1:
+        config = config.override(tpu__zero1=True)
 
     model, tokenizer, pretrained = load_text_model_and_tokenizer(args, config=config)
 
