@@ -45,6 +45,14 @@ class MelSolver:
         self.mesh = mesh
         self.logger = RunLogger(config)
         self.loss_fn = make_embedding_loss(config)
+        # ZeRO-1 (tpu.zero1): dp-sharded Adam moments — small absolute win
+        # here (ResNet18+projector), but keeps the knob uniform across all
+        # three solvers (see train/solver.py, parallel/mesh.py zero1_*)
+        self.zero1 = (
+            bool(config.get_path("tpu.zero1", False))
+            and mesh is not None
+            and mesh.shape.get("dp", 1) > 1
+        )
         self.mining_type = str(config.get_path("solver.mining_type", "hard"))
         # async_mining=True mines batch k+1 (with the params from *before*
         # step k's update — one step staler than the reference's semantics)
@@ -82,6 +90,11 @@ class MelSolver:
             import optax
 
             new_params = optax.apply_updates(state.params, updates)
+            if self.zero1:
+                # pin the moments' dp sharding across steps (ZeRO-1)
+                from mer_tpu.parallel.mesh import constrain_opt_state_zero1
+
+                new_opt = constrain_opt_state_zero1(new_opt, new_params, self.mesh)
             return state.replace(params=new_params, opt_state=new_opt, step=state.step + 1), loss, grads
 
         def triplet_step(state: TrainState, spectrograms: jnp.ndarray):
@@ -140,6 +153,10 @@ class MelSolver:
         steps_per_epoch = len(self.data_train) // self.batch_size
         self._optimizer, self._schedule = optimizer_from_config(self.config.solver, steps_per_epoch)
         opt_state = self._optimizer.init(params)
+        if self.zero1:
+            from mer_tpu.parallel.mesh import shard_opt_state_zero1
+
+            opt_state = shard_opt_state_zero1(opt_state, params, self.mesh)
         # async mining reads the pre-update params concurrently with the
         # step — donation would invalidate those buffers mid-use
         donate = () if self.async_mining else (0,)

@@ -193,6 +193,62 @@ class TestZero1Training:
         ]
         assert len(dp_leaves) >= 10
 
+    def test_mel_solver_zero1_matches_plain_dp(self, meld_like_root_with_wavs, tmp_path):
+        """Same contract through MelSolver (conv/BatchNorm param tree — no
+        TP rules match, so every dp-divisible axis comes from the plain
+        largest-axis rule)."""
+        from mer_tpu.data import MelFeatureDataset
+        from mer_tpu.models.resnet import AudioMelFeatureExtractor
+        from mer_tpu.train import MelSolver
+
+        root, _ = meld_like_root_with_wavs
+
+        def cfg(z):
+            return Config(
+                {
+                    "DEBUG": {"enabled": True, "num_samples": 16, "train": True},
+                    "AUDIO": {"ffmpeg_sr": 16000, "wav2vec_sr": 16000,
+                              "max_duration": 1.0, "augmentation_factor": 1},
+                    "checkpoint": {"save_path": str(tmp_path / "mel.ckpt"),
+                                   "save_checkpoint": False},
+                    "solver": {
+                        "len_triplet_picking": 16, "mining_type": "hard",
+                        "adaptive_triplet_margin_loss": True,
+                        "covariance_loss": True, "variance_loss": True,
+                        "lr": 1e-4, "weight_decay": 0.0, "epochs": 1,
+                        "scheduler": {"enabled": False},
+                        "early_stopping": {"enabled": False, "patience": 1,
+                                           "restore_best_weights": False},
+                    },
+                    "train": {"data_loader": {"shuffle": False, "batch_size": 8}},
+                    "val": {"data_loader": {"shuffle": False, "batch_size": 8}},
+                    "wandb": {"enabled": False},
+                    "tpu": {"zero1": z},
+                }
+            )
+
+        mesh = make_mesh(dp=8, tp=1)
+        losses, states = {}, {}
+        for name, z in [("plain", False), ("zero1", True)]:
+            c = cfg(z)
+            solver = MelSolver(
+                AudioMelFeatureExtractor(embedding_size=16), c,
+                MelFeatureDataset("train", c, data_root=root),
+                MelFeatureDataset("val", c, data_root=root),
+                seed=0, mesh=mesh,
+            )
+            state = solver.init_state()
+            state, loss = solver.train_epoch(state, epoch=0, rng=jax.random.PRNGKey(2))
+            losses[name], states[name] = loss, state
+
+        np.testing.assert_allclose(losses["plain"], losses["zero1"], rtol=1e-4)
+        n_dp = sum(
+            1 for leaf in jax.tree.leaves(states["zero1"].opt_state)
+            if hasattr(leaf, "sharding")
+            and "dp" in jax.tree.leaves(tuple(leaf.sharding.spec))
+        )
+        assert n_dp >= 20
+
     def test_memory_footprint_shrinks(self):
         """Per-device moment bytes under zero1 ~= replicated bytes / dp."""
         mesh = make_mesh(dp=8, tp=1)
