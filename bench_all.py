@@ -1042,6 +1042,62 @@ def bench_h2d_link(results: dict) -> None:
         results[label] = round(buf.nbytes / 1e6 / min(times), 1)
 
 
+def bench_h2d_dispatch(results: dict) -> None:
+    """Attribute the e2e stage-1 upload wall: the same MELD-test-shaped
+    waveform stacks (~356 MB int16 over 5 duration buckets) shipped three
+    ways on this host. ``put_loop`` is the pre-round-5 per-stack pattern,
+    ``put_single`` one device_put over the whole pytree, ``flat`` ONE
+    contiguous buffer + a jitted dynamic-slice reshape per group (the
+    pipelines/e2e.py ``coalesce_h2d`` default). The flat row's rate is what
+    stage-1 attribution should use for coalesced runs; the loop row is the
+    measured per-call overhead the coalesced path removes."""
+    import jax
+
+    rng = np.random.default_rng(0)
+    buckets = [(38, 32, 32000), (20, 32, 64000), (12, 32, 96000),
+               (7, 32, 128000), (5, 32, 160000)]
+    stacks = [rng.integers(-2000, 2000, size=shape).astype(np.int16)
+              for shape in buckets]
+    total_mb = sum(s.nbytes for s in stacks) / 1e6
+    jax.block_until_ready(jax.device_put(np.zeros((1 << 20,), np.int16)))  # warm
+
+    def timed(fn):
+        times = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            jax.block_until_ready(fn())
+            times.append(time.perf_counter() - t0)
+        return min(times)
+
+    results["e2e_dispatch_put_loop_mb_s"] = round(
+        total_mb / timed(lambda: [jax.device_put(s) for s in stacks]), 1)
+    results["e2e_dispatch_put_single_mb_s"] = round(
+        total_mb / timed(lambda: jax.device_put(stacks)), 1)
+
+    flat = np.empty((sum(s.size for s in stacks),), np.int16)
+    offs, o = [], 0
+    for s in stacks:
+        flat[o:o + s.size] = s.ravel()
+        offs.append(o)
+        o += s.size
+
+    def _reslice_all(buf):
+        out, = [tuple(
+            jax.lax.dynamic_slice_in_dim(buf, off, int(np.prod(shape))).reshape(shape)
+            for off, shape in zip(offs, buckets))]
+        return out
+
+    reslicer = jax.jit(_reslice_all)
+
+    def flat_path():
+        return reslicer(jax.device_put(flat))
+
+    jax.block_until_ready(flat_path())  # compile the reslice program
+    results["e2e_dispatch_flat_mb_s"] = round(total_mb / timed(flat_path), 1)
+    results["e2e_dispatch_stacks"] = len(stacks)
+    results["e2e_dispatch_total_mb"] = round(total_mb, 1)
+
+
 def bench_e2e_baseline(results: dict, data_root: str) -> None:
     """Measured torch-CPU denominator for the e2e config (VERDICT r4 #5):
     a CPU restatement of the reference's sequential chain — the text export
@@ -1206,6 +1262,7 @@ def main():
             json.dump(results, f, indent=2)
 
     run_leg(bench_h2d_link)
+    run_leg(bench_h2d_dispatch)
     run_leg(bench_kernels)
     run_leg(bench_logmel)
     run_leg(bench_fusion)

@@ -33,6 +33,20 @@ from mer_tpu.models.wav2vec2 import AudioERC
 from mer_tpu.objectives.metrics import BatchAveragedMetrics
 
 
+def _bucket_len(n: int) -> int:
+    """Round a flat-buffer length up to a coarse bucket (multiples of 4M
+    elements above 4M, powers of two below) so the coalesced-upload reslice
+    programs keep stable input shapes — and compile-cache keys — across
+    datasets of similar scale."""
+    if n >= (1 << 22):
+        q = 1 << 22
+        return (n + q - 1) // q * q
+    m = 1024
+    while m < n:
+        m <<= 1
+    return m
+
+
 @dataclass
 class E2EModels:
     """The audio branch accepts either embedder the reference can feed fusion
@@ -66,7 +80,7 @@ class StreamingPipeline:
 
     def __init__(self, models: E2EModels, utterance_batch: int = 32, dialogue_batch: int = 32,
                  buckets=DEFAULT_LENGTH_BUCKETS, engine: str = "bf16", mel_cfg=None,
-                 wire: str = "int16"):
+                 wire: str = "int16", coalesce_h2d: bool = True):
         if engine not in ("bf16", "int8"):
             raise ValueError(f"engine must be 'bf16' or 'int8', got {engine!r}")
         if wire not in ("int16", "mulaw"):
@@ -146,6 +160,8 @@ class StreamingPipeline:
         self.utterance_batch = utterance_batch
         self.dialogue_batch = dialogue_batch
         self.buckets = buckets
+        self.coalesce_h2d = coalesce_h2d
+        self._reslicer_cache: dict = {}
 
         # params must be jit *arguments*, not closure constants — closed-over
         # arrays are baked into the HLO as literals, which blows program-size
@@ -356,6 +372,87 @@ class StreamingPipeline:
             np.concatenate(audio_rows)[order],
         )
 
+    def _upload_coalesced(self, host, modalities):
+        """Ship stage 1's H2D traffic as ONE transfer per dtype.
+
+        Every (modality, shape-group) stack is raveled into a flat per-dtype
+        host buffer — ``np.stack(..., out=flat_view)`` writes each stack
+        straight into its slot, so host memcpy cost matches the per-stack
+        path — then a single ``jax.device_put`` per dtype moves the whole
+        set, and one jitted program per modality recovers the [G, B, ...]
+        stacks with static slices (HBM-to-HBM copies, off the host link).
+
+        Why: on tunneled hosts ``device_put`` pays a large per-call cost —
+        the MELD-test waveform set (356 MB over ~10 per-group calls) moved
+        at ~85 MB/s while one flat buffer moves at ~1.3 GB/s
+        (BENCH_LOCAL ``h2d_link_incompressible_mb_s``, ``e2e_dispatch_*``;
+        scripts/profile_e2e_dispatch.py). On PCIe hosts the coalesced path
+        is at worst neutral: same bytes, fewer DMA submissions.
+
+        Buffers are padded to 4M-element buckets so the reslice programs'
+        input shapes (and compile-cache keys) stay stable across datasets
+        of similar scale. Returns ``(plans, h2d_bytes)`` shaped exactly
+        like the per-stack path's.
+        """
+        specs = []   # per modality: (scan_fn, params, [(idxs, [(dtype, off, size, shape)])])
+        totals: dict[str, int] = {}
+        for _, keys, scan_fn, params in modalities:
+            groups: dict[tuple, list[int]] = {}
+            for i, b in enumerate(host):
+                sig = tuple(np.shape(b[k]) for k in keys)
+                groups.setdefault(sig, []).append(i)
+            mod = []
+            for idxs in groups.values():
+                entries = []
+                for k in keys:
+                    first = np.asarray(host[idxs[0]][k])
+                    shape = (len(idxs),) + first.shape
+                    size = int(np.prod(shape))
+                    off = totals.get(first.dtype.name, 0)
+                    totals[first.dtype.name] = off + size
+                    entries.append((k, first.dtype, off, size, shape))
+                mod.append((idxs, entries))
+            specs.append((scan_fn, params, mod))
+
+        # allocate at the bucketed length up front (no second copy to pad)
+        bufs = {name: np.empty((_bucket_len(n),), np.dtype(name))
+                for name, n in totals.items()}
+        for name, n in totals.items():
+            bufs[name][n:] = 0
+        for _, _, mod in specs:
+            for idxs, entries in mod:
+                for k, dt, off, size, shape in entries:
+                    np.stack([np.asarray(host[i][k]) for i in idxs],
+                             out=bufs[dt.name][off:off + size].reshape(shape))
+
+        names = sorted(bufs)
+        dbufs = [jax.device_put(bufs[name]) for name in names]
+        h2d_bytes = sum(b.nbytes for b in bufs.values())
+
+        plans = []
+        for scan_fn, params, mod in specs:
+            # one reslice program per modality: all of its stacks come back
+            # from a single dispatch (static offsets/shapes; cached on the
+            # layout signature so repeat calls over the same split reuse it)
+            layout = tuple(
+                tuple((names.index(dt.name), off, size, shape)
+                      for _, dt, off, size, shape in entries)
+                for _, entries in mod)
+            key = (layout, tuple((names[i], int(d.size)) for i, d in enumerate(dbufs)))
+            reslicer = self._reslicer_cache.get(key)
+            if reslicer is None:
+                def _reslice_all(bs, layout=layout):
+                    return tuple(
+                        tuple(jax.lax.dynamic_slice_in_dim(bs[bi], off, size).reshape(shape)
+                              for bi, off, size, shape in entries)
+                        for entries in layout)
+                reslicer = self._reslicer_cache[key] = jax.jit(_reslice_all)
+            stacked_groups = reslicer(dbufs)
+            uploaded = [(idxs, stacked)
+                        for (idxs, _), stacked in zip(mod, stacked_groups)]
+            plans.append((scan_fn, params, uploaded))
+        return plans, h2d_bytes
+
     def embed_utterances_scanned(self, batches, stage_times: dict | None = None):
         """Offline stage 1: consume ALL host batches up front, group them by
         device shape per modality, and embed each group with ONE lax.scan
@@ -398,17 +495,20 @@ class StreamingPipeline:
         ]
         h2d_bytes = 0
         plans = []  # (scan_fn, params, [(batch idxs, stacked device arrays)])
-        for _, keys, scan_fn, params in modalities:
-            groups: dict[tuple, list[int]] = {}
-            for i, b in enumerate(host):
-                sig = tuple(np.shape(b[k]) for k in keys)
-                groups.setdefault(sig, []).append(i)
-            uploaded = []
-            for idxs in groups.values():
-                stacks = tuple(np.stack([host[i][k] for i in idxs]) for k in keys)
-                h2d_bytes += sum(s.nbytes for s in stacks)
-                uploaded.append((idxs, tuple(jax.device_put(s) for s in stacks)))
-            plans.append((scan_fn, params, uploaded))
+        if self.coalesce_h2d:
+            plans, h2d_bytes = self._upload_coalesced(host, modalities)
+        else:
+            for _, keys, scan_fn, params in modalities:
+                groups: dict[tuple, list[int]] = {}
+                for i, b in enumerate(host):
+                    sig = tuple(np.shape(b[k]) for k in keys)
+                    groups.setdefault(sig, []).append(i)
+                uploaded = []
+                for idxs in groups.values():
+                    stacks = tuple(np.stack([host[i][k] for i in idxs]) for k in keys)
+                    h2d_bytes += sum(s.nbytes for s in stacks)
+                    uploaded.append((idxs, tuple(jax.device_put(s) for s in stacks)))
+                plans.append((scan_fn, params, uploaded))
 
         # Phase 2 — dispatch one scan per (modality, shape) group
         def _embed_tables(scan_fn, params, uploaded):

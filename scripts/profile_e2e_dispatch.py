@@ -83,6 +83,48 @@ def main():
           f"{many_s / 20 * 1e3:.1f} ms/transfer)")
     del up_many
 
+    # (e) ONE flat coalesced buffer: every stack raveled into a single
+    # contiguous int16 array (np.stack writes straight into the flat view,
+    # so host memcpy cost is the same as (a)'s stacking), ONE device_put,
+    # then a jitted dynamic-slice+reshape per group to recover the [G,B,T]
+    # stacks on device (HBM-to-HBM copy, off the host link entirely).
+    total_elems = sum(s.size for s in stacks)
+    t0 = time.perf_counter()
+    flat = np.empty((total_elems,), np.int16)
+    offs, o = [], 0
+    i = 0
+    for (g, b, t), s in zip(buckets, stacks):
+        np.stack(host_batches[i:i + g], out=flat[o:o + g * b * t].reshape(g, b, t))
+        offs.append(o)
+        o += g * b * t
+        i += g
+    flat_build_s = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    dflat = jax.device_put(flat)
+    flat_enqueue = time.perf_counter() - t0
+    jax.block_until_ready(dflat)
+    flat_put_s = time.perf_counter() - t0
+    print(f"flat_build {flat_build_s:.3f}  flat_put_enqueue {flat_enqueue:.3f}  "
+          f"flat_put_total {flat_put_s:.3f} ({total_mb / flat_put_s:.0f} MB/s)")
+
+    from functools import partial
+
+    @partial(jax.jit, static_argnums=(2, 3))
+    def reslice(buf, off, size, shape):
+        return jax.lax.dynamic_slice_in_dim(buf, off, size).reshape(shape)
+
+    outs = [reslice(dflat, offs[k], buckets[k][0] * buckets[k][1] * buckets[k][2],
+                    tuple(buckets[k])) for k in range(len(buckets))]
+    jax.block_until_ready(outs)  # compile
+    t0 = time.perf_counter()
+    outs = [reslice(dflat, offs[k], buckets[k][0] * buckets[k][1] * buckets[k][2],
+                    tuple(buckets[k])) for k in range(len(buckets))]
+    jax.block_until_ready(outs)
+    reslice_s = time.perf_counter() - t0
+    print(f"flat_reslice({len(buckets)} groups, warm) {reslice_s:.3f}  "
+          f"flat_end_to_end {flat_build_s + flat_put_s + reslice_s:.3f}")
+    del outs, dflat
+
     # (d) jit dispatch enqueue cost at this shape count (tiny pre-compiled fn)
     f = jax.jit(lambda x: jnp.sum(x, dtype=jnp.int32))
     outs = [f(u) for u in up_single]  # compile each shape

@@ -104,6 +104,49 @@ class TestStreamingPipeline:
         assert 0.0 <= result8["accuracy"] <= 1.0
 
 
+class TestCoalescedUpload:
+    def test_coalesced_tables_bit_equal(self, meld_like_root_with_wavs):
+        """The coalesced one-transfer-per-dtype upload is a transport change,
+        not a numerics change: the reslice feeds the SAME [G, B, ...] stacks
+        to the same scan programs, so the embedding tables and position maps
+        must be bit-identical to the per-stack device_put path."""
+        root, _ = meld_like_root_with_wavs
+        tok = ToyWhitespaceTokenizer(vocab_size=1000)
+        text_ds = TextFeatureDataset("val", tok, data_root=root)
+        w2v_ds = Wav2Vec2FeatureDataset("val", data_root=root)
+
+        rng = jax.random.PRNGKey(0)
+        text_model = TextERC(ROBERTA)
+        audio_model = AudioERC(W2V)
+        fusion_model = M2FNet(
+            d_model_audio=D, d_model_text=D, d_model_fam=D,
+            n_head_audio=4, n_head_text=4, n_head_fam=4,
+            n_layers_audio=1, n_layers_text=1, n_layers_fam=1,
+            hidden_size_classifier=D,
+        )
+        models = E2EModels(
+            text_model,
+            text_model.init(rng, jnp.zeros((2, 8), jnp.int32), jnp.ones((2, 8), jnp.int32))["params"],
+            audio_model,
+            audio_model.init(rng, jnp.zeros((2, 16000)), jnp.full((2,), 16000))["params"],
+            fusion_model,
+            fusion_model.init(
+                rng, jnp.zeros((2, 4, D)), jnp.zeros((2, 4, D)), jnp.zeros((2, 4), bool)
+            )["params"],
+        )
+        tables = {}
+        for coalesce in (True, False):
+            pipeline = StreamingPipeline(models, utterance_batch=8, dialogue_batch=4,
+                                         coalesce_h2d=coalesce)
+            # two-width ladder so stage 1 sees multiple shape groups per modality
+            batches = mixed_utterance_batches(text_ds, w2v_ds, batch_size=8,
+                                              seconds_buckets=(0.5, 1.0))
+            tables[coalesce] = pipeline.embed_utterances_scanned(list(batches))
+        for a, b, name in zip(tables[True], tables[False],
+                              ("table_t", "table_a", "pos_t", "pos_a")):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b), err_msg=name)
+
+
 class TestStreamingPipelineMel:
     def test_mel_branch_matches_offline_exports(self, meld_like_root_with_wavs):
         """`--audio mel` streaming: on-device log-mel -> ResNet18 -> 300-d
